@@ -1,0 +1,2 @@
+from .gaussian import GaussianTransition
+from .categorical import CategoricalTransition, build_transition_mats, build_init_prob

@@ -1,0 +1,161 @@
+"""D3PM-style categorical transition with configurable absorbing priors.
+
+Parity target: reference `models/transition.py:178-339`
+(`GeneralCategoricalTransition`):
+- per-step K x K transition matrices toward an `init_prob` prior
+  ('tomask' / 'absorb' / 'uniform' / custom), built in float64 on the host;
+- cumulative q_mats by matrix product;
+- posterior q(v_{t-1} | v_t, v_0) via products with the transposed one-step
+  matrices, with log(x+eps).clamp(-32) guards and the t==0 -> log_v0 override;
+- KL / decoder-NLL loss split at t==0 (`compute_v_Lt`);
+- prior sampling (`sample_init`).
+
+Padded-batch layout: v lives on [B, ...] grids (e.g. [B, N] atoms or
+[B, N, N] dense bonds); t is per-graph [B].
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.masked import (clamped_log, categorical_kl, log_categorical,
+                          index_to_log_onehot, log_sample_categorical)
+
+EPS = 1e-30
+
+
+def build_init_prob(num_classes: int, init_prob: Union[str, np.ndarray, None]
+                    ) -> np.ndarray:
+    if init_prob is None or init_prob == "uniform":
+        p = np.ones(num_classes) / num_classes
+    elif init_prob == "absorb":  # absorb into class 0 (no-bond)
+        p = 0.01 * np.ones(num_classes)
+        p[0] = 1.0
+        p = p / p.sum()
+    elif init_prob == "tomask":  # absorb into the trailing mask class
+        p = 0.001 * np.ones(num_classes)
+        p[-1] = 1.0
+        p = p / p.sum()
+    else:
+        p = np.asarray(init_prob, dtype=np.float64)
+        p = p / p.sum()
+    return p
+
+
+def build_transition_mats(betas: np.ndarray, num_classes: int,
+                          init_prob: Union[str, np.ndarray, None]):
+    """Host-side float64 construction of Q_t, cumulative Q-bar_t, Q_t^T."""
+    prob = build_init_prob(num_classes, init_prob)
+    one_step = []
+    for beta_t in betas:
+        mat = beta_t * np.repeat(prob[None, :], num_classes, axis=0)
+        mat = mat + np.eye(num_classes) * (1.0 - beta_t)
+        one_step.append(mat)
+    one_step = np.stack(one_step, axis=0)  # (T, K, K)
+
+    q_mat_t = one_step[0]
+    q_mats = [q_mat_t]
+    for t in range(1, len(betas)):
+        q_mat_t = q_mat_t @ one_step[t]
+        q_mats.append(q_mat_t)
+    q_mats = np.stack(q_mats, axis=0)
+    transpose_one_step = np.transpose(one_step, (0, 2, 1))
+    return prob, q_mats, transpose_one_step
+
+
+def _texp(t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    return t.reshape(t.shape + (1,) * (ndim - 1))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CategoricalTransition:
+    q_mats: jnp.ndarray              # [T, K, K] cumulative
+    transpose_q_onestep: jnp.ndarray  # [T, K, K]
+    init_logprob: jnp.ndarray        # [K]
+    num_classes: int
+
+    def tree_flatten(self):
+        return (self.q_mats, self.transpose_q_onestep, self.init_logprob), \
+            (self.num_classes,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, num_classes=aux[0])
+
+    @classmethod
+    def create(cls, betas: np.ndarray, num_classes: int,
+               init_prob: Union[str, np.ndarray, None] = None,
+               ) -> "CategoricalTransition":
+        prob, q_mats, tq = build_transition_mats(
+            np.asarray(betas, np.float64), num_classes, init_prob)
+        init_logprob = np.clip(np.log(prob + EPS), -32.0, None)
+        f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+        return cls(f32(q_mats), f32(tq), f32(init_logprob), num_classes)
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.q_mats.shape[0]
+
+    # ----- forward (noising) -----
+    def q_vt_pred(self, log_v0: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """log q(v_t | v_0). log_v0: [B, ..., K], t: [B]."""
+        qt = self.q_mats[t]  # [B, K, K]
+        q_vt = jnp.einsum("b...j,bjk->b...k", jnp.exp(log_v0), qt)
+        return clamped_log(q_vt)
+
+    def q_vt_sample(self, key: jax.Array, log_v0: jnp.ndarray, t: jnp.ndarray):
+        log_q = self.q_vt_pred(log_v0, t)
+        sample_class = log_sample_categorical(key, log_q)
+        return sample_class, index_to_log_onehot(sample_class, self.num_classes)
+
+    def add_noise(self, key: jax.Array, v: jnp.ndarray, t: jnp.ndarray):
+        """v: [B, ...] int class ids; returns (one-hot v_t, log v_t, log v_0)."""
+        log_v0 = index_to_log_onehot(v, self.num_classes)
+        v_pert, log_vt = self.q_vt_sample(key, log_v0, t)
+        return jax.nn.one_hot(v_pert, self.num_classes, dtype=jnp.float32), \
+            log_vt, log_v0
+
+    def onehot_encode(self, v: jnp.ndarray) -> jnp.ndarray:
+        return jax.nn.one_hot(v, self.num_classes, dtype=jnp.float32)
+
+    # ----- reverse (posterior) -----
+    def q_v_posterior(self, log_v0: jnp.ndarray, log_vt: jnp.ndarray,
+                      t: jnp.ndarray, v0_prob: bool = True) -> jnp.ndarray:
+        """log q(v_{t-1} | v_t, v_0); t==0 entries return log_v0 directly."""
+        t_minus_1 = jnp.maximum(t - 1, 0)
+        fact1_mat = self.transpose_q_onestep[t]  # [B, K, K]
+        fact1 = jnp.einsum("b...j,bjk->b...k", jnp.exp(log_vt), fact1_mat)
+        fact2_mat = self.q_mats[t_minus_1]
+        if v0_prob:
+            fact2 = jnp.einsum("b...j,bjk->b...k", jnp.exp(log_v0), fact2_mat)
+        else:
+            v0_onehot = jax.nn.one_hot(jnp.argmax(log_v0, axis=-1),
+                                       self.num_classes, dtype=jnp.float32)
+            fact2 = jnp.einsum("b...j,bjk->b...k", v0_onehot, fact2_mat)
+        out = clamped_log(fact1) + clamped_log(fact2)
+        out = out - jax.nn.logsumexp(out, axis=-1, keepdims=True)
+        time_zero = _texp(t == 0, out.ndim)
+        return jnp.where(time_zero, log_v0, out)
+
+    def compute_v_Lt(self, log_post_true: jnp.ndarray,
+                     log_post_pred: jnp.ndarray, log_v0: jnp.ndarray,
+                     t: jnp.ndarray) -> jnp.ndarray:
+        """Per-entry loss: KL(true || pred), or decoder NLL where t==0."""
+        kl_v = categorical_kl(log_post_true, log_post_pred)
+        decoder_nll = -log_categorical(log_v0, log_post_pred)
+        mask = _texp((t == 0).astype(kl_v.dtype), kl_v.ndim)
+        return mask * decoder_nll + (1.0 - mask) * kl_v
+
+    def sample_init(self, key: jax.Array, shape):
+        """Sample v_T from the stationary prior over a [B, ...] grid."""
+        logits = jnp.broadcast_to(self.init_logprob,
+                                  tuple(shape) + (self.num_classes,))
+        init_types = log_sample_categorical(key, logits)
+        init_onehot = self.onehot_encode(init_types)
+        log_vt = index_to_log_onehot(init_types, self.num_classes)
+        return init_types, init_onehot, log_vt

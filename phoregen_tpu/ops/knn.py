@@ -1,0 +1,67 @@
+"""Dense masked k-NN graph construction.
+
+TPU-native replacement for torch_cluster's `knn_graph` (reference
+`models/uni_denoiser.py:351-361`): instead of a dynamic edge list, each node
+gets a fixed-width row of k neighbour indices plus a validity mask, computed
+with `jax.lax.top_k` over the masked pairwise-distance matrix. Static shapes,
+recomputable inside `lax.scan`.
+
+Semantics match PyG's `knn_graph(x, k, batch, flow='source_to_target')`:
+for each destination node i, its k nearest valid neighbours j (j != i) define
+incoming edges j->i; graphs with fewer than k valid candidates yield masked
+slots.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+_INF = 1e30
+
+
+def pairwise_sq_dist(x: jnp.ndarray) -> jnp.ndarray:
+    """Squared Euclidean distances. x: [..., N, 3] -> [..., N, N].
+
+    Computed with the direct difference form (exact, no |x|^2 cancellation
+    error) — N is small (<= ~200) so the O(N^2 * 3) cost is trivial.
+    """
+    diff = x[..., :, None, :] - x[..., None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def knn_neighbors(x: jnp.ndarray, mask: jnp.ndarray, k: int,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked k-NN over padded point sets.
+
+    Args:
+      x: [B, N, 3] positions.
+      mask: [B, N] validity (False = padding).
+      k: neighbours per node (static).
+
+    Returns:
+      nbr_idx: [B, N, K] int32 source-node indices (arbitrary where invalid).
+      nbr_mask: [B, N, K] bool; True where the edge nbr_idx[b,i,m] -> i exists.
+    """
+    B, N = mask.shape
+    d2 = pairwise_sq_dist(x)  # [B, N, N], axis -1 = candidate source j
+    eye = jnp.eye(N, dtype=bool)
+    valid_pair = mask[:, None, :] & mask[:, :, None] & ~eye  # [B, dst, src]
+    d2 = jnp.where(valid_pair, d2, _INF)
+    neg_d2, nbr_idx = lax.top_k(-d2, k)  # nearest k along src axis
+    nbr_mask = neg_d2 > -_INF * 0.5
+    return nbr_idx.astype(jnp.int32), nbr_mask
+
+
+def radius_neighbors(x: jnp.ndarray, mask: jnp.ndarray, k: int, r: float,
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Radius graph capped at k neighbours (dense analogue of `radius_graph`).
+
+    Keeps the k nearest neighbours within radius r; the fixed width keeps
+    shapes static while matching radius-graph semantics for typical densities.
+    """
+    nbr_idx, nbr_mask = knn_neighbors(x, mask, k)
+    d2 = pairwise_sq_dist(x)
+    sel = jnp.take_along_axis(d2, nbr_idx, axis=-1)
+    return nbr_idx, nbr_mask & (sel <= r * r)

@@ -1,0 +1,124 @@
+"""Gaussian + categorical transition tests: DDPM identities, row-stochastic
+q_mats, posterior identities on hand-computable small-K cases."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from phoregen_tpu.ops.schedules import get_beta_schedule
+from phoregen_tpu.diffusion import (CategoricalTransition, GaussianTransition,
+                                    build_transition_mats)
+
+BETAS = get_beta_schedule("advance", 100, scale_start=0.9999,
+                          scale_end=0.0001, width=3)
+
+
+class TestGaussian:
+    def test_coefficient_identities(self):
+        tr = GaussianTransition.create(BETAS)
+        ab = np.cumprod(1 - BETAS)
+        np.testing.assert_allclose(tr.alphas_bar, ab, rtol=1e-6)
+        # DDPM identity: with x0 = c and xt = sqrt(abar_t) * c (noiseless
+        # forward), the posterior mean is sqrt(abar_{t-1}) * c.
+        for t in (1, 50, 99):
+            mu = float(tr.coef_x0[t] + tr.coef_xt[t] * np.sqrt(ab[t]))
+            assert abs(mu - np.sqrt(ab[t - 1])) < 1e-5, t
+
+    def test_add_noise_statistics(self):
+        tr = GaussianTransition.create(BETAS)
+        key = jax.random.PRNGKey(0)
+        x0 = jnp.zeros((64, 16, 3))
+        t = jnp.full((64,), 99, dtype=jnp.int32)
+        xt = tr.add_noise(key, x0, t)
+        # at T-1 alpha_bar ~ 1e-4 -> x_t ~ N(0, 1)
+        assert abs(float(jnp.std(xt)) - 1.0) < 0.05
+
+    def test_t0_returns_mean(self):
+        tr = GaussianTransition.create(BETAS)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        x_t = jax.random.normal(k1, (2, 5, 3))
+        x_recon = jax.random.normal(k2, (2, 5, 3))
+        t = jnp.zeros((2,), dtype=jnp.int32)
+        out1 = tr.get_prev_from_recon(jax.random.PRNGKey(2), x_t, x_recon, t)
+        out2 = tr.get_prev_from_recon(jax.random.PRNGKey(3), x_t, x_recon, t)
+        np.testing.assert_allclose(out1, out2, rtol=1e-6)  # deterministic at t=0
+        mu = tr.coef_x0[0] * x_recon + tr.coef_xt[0] * x_t
+        np.testing.assert_allclose(out1, mu, rtol=1e-5)
+
+    def test_energy_grad_shifts_mean(self):
+        tr = GaussianTransition.create(BETAS)
+        x_t = jnp.ones((1, 3, 3))
+        x_recon = jnp.ones((1, 3, 3))
+        t = jnp.zeros((1,), dtype=jnp.int32)
+        g = jnp.full((1, 3, 3), 0.25)
+        out = tr.get_prev_from_recon(jax.random.PRNGKey(0), x_t, x_recon, t,
+                                     energy_grad=g)
+        base = tr.get_prev_from_recon(jax.random.PRNGKey(0), x_t, x_recon, t)
+        np.testing.assert_allclose(base - out, g, rtol=1e-5)
+
+
+class TestCategorical:
+    @pytest.mark.parametrize("init_prob", ["uniform", "absorb", "tomask"])
+    def test_q_mats_row_stochastic(self, init_prob):
+        prob, q_mats, tq = build_transition_mats(BETAS, 6, init_prob)
+        np.testing.assert_allclose(q_mats.sum(-1), 1.0, atol=1e-10)
+        assert np.all(q_mats >= 0)
+        # terminal distribution approaches the prior
+        terminal = q_mats[-1]
+        for row in terminal:
+            np.testing.assert_allclose(row, prob, atol=2e-3)
+
+    def test_posterior_t0_override(self):
+        tr = CategoricalTransition.create(BETAS, 6, "absorb")
+        v0 = jnp.array([[1, 2, 3]])
+        log_v0 = jax.nn.one_hot(v0, 6)
+        log_v0 = jnp.log(jnp.clip(log_v0, 1e-30, None))
+        t = jnp.zeros((1,), dtype=jnp.int32)
+        post = tr.q_v_posterior(log_v0, log_v0, t)
+        np.testing.assert_allclose(post, log_v0, rtol=1e-6)
+
+    def test_posterior_matches_bayes_small_case(self):
+        """Hand-computed Bayes check: posterior ∝ Q_t[:, vt] * Qbar_{t-1}[v0, :]."""
+        K = 4
+        betas = np.array([0.1, 0.2, 0.3])
+        tr = CategoricalTransition.create(betas, K, "uniform")
+        prob, q_mats, _ = build_transition_mats(betas, K, "uniform")
+        one_step = np.transpose(np.asarray(tr.transpose_q_onestep), (0, 2, 1))
+
+        v0, vt, t = 1, 2, 2
+        # exact posterior
+        num = one_step[t][:, vt] * q_mats[t - 1][v0, :]
+        expected = num / num.sum()
+
+        log_v0 = jnp.log(jnp.clip(jax.nn.one_hot(jnp.array([[v0]]), K), 1e-30, None))
+        log_vt = jnp.log(jnp.clip(jax.nn.one_hot(jnp.array([[vt]]), K), 1e-30, None))
+        post = tr.q_v_posterior(log_v0, log_vt, jnp.array([t]))
+        np.testing.assert_allclose(np.exp(post[0, 0]), expected, atol=1e-5)
+
+    def test_add_noise_terminal_is_prior(self):
+        tr = CategoricalTransition.create(BETAS, 12, "tomask")
+        v = jnp.zeros((8, 64), dtype=jnp.int32)  # all class 0
+        t = jnp.full((8,), 99, dtype=jnp.int32)
+        onehot, log_vt, log_v0 = tr.add_noise(jax.random.PRNGKey(0), v, t)
+        frac_mask = float(jnp.mean(onehot[..., -1]))
+        assert frac_mask > 0.95  # absorbed into mask class at T
+
+    def test_compute_v_Lt_modes(self):
+        tr = CategoricalTransition.create(BETAS, 6, "absorb")
+        logp = jax.nn.log_softmax(jax.random.normal(jax.random.PRNGKey(0), (2, 3, 6)))
+        logq = jax.nn.log_softmax(jax.random.normal(jax.random.PRNGKey(1), (2, 3, 6)))
+        log_v0 = jnp.log(jnp.clip(jax.nn.one_hot(jnp.array([[0, 1, 2], [3, 4, 5]]), 6), 1e-30, None))
+        t = jnp.array([0, 50])
+        loss = tr.compute_v_Lt(logp, logq, log_v0, t)
+        # graph 0 at t=0: decoder NLL = -logq[v0]
+        nll = -jnp.take_along_axis(logq[0], jnp.array([[0], [1], [2]]), axis=-1)[:, 0]
+        np.testing.assert_allclose(loss[0], nll, rtol=1e-5)
+        # graph 1: KL
+        kl = jnp.sum(jnp.exp(logp[1]) * (logp[1] - logq[1]), -1)
+        np.testing.assert_allclose(loss[1], kl, rtol=1e-5)
+
+    def test_sample_init_distribution(self):
+        tr = CategoricalTransition.create(BETAS, 6, "absorb")
+        types, onehot, log_vt = tr.sample_init(jax.random.PRNGKey(0), (4, 512))
+        frac0 = float(jnp.mean((types == 0).astype(jnp.float32)))
+        assert abs(frac0 - 1.0 / 1.05) < 0.05  # absorb prior: p0 = 1/1.05
