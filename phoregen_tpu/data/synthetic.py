@@ -1,0 +1,101 @@
+"""Synthetic (ligand, pharmacophore) pair generator.
+
+Substitutes for the ZINC/PDBBind datasets in environments without RDKit and
+in unit tests: chain-bonded pseudo-molecules with chemically plausible bond
+lengths plus pharmacophore points derived from atom positions. Shapes and
+vocabularies match the real data layer exactly.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..constants import (NUM_ELEMENT_CLASSES, phore_feat_dim,
+                         phore_type_vocab)
+from .batching import pad_sample, pick_bucket, collate
+
+
+def random_molecule(rng: np.random.Generator, n_atoms: int):
+    """A random chain molecule with ~1.5 A bonds and a few branches."""
+    # 3D self-avoiding-ish random walk
+    pos = np.zeros((n_atoms, 3), np.float32)
+    for i in range(1, n_atoms):
+        step = rng.normal(size=3)
+        step = 1.5 * step / np.linalg.norm(step)
+        pos[i] = pos[i - 1] + step
+    # mostly carbon with some heteroatoms (class ids 0..10)
+    types = rng.choice(NUM_ELEMENT_CLASSES, size=n_atoms,
+                       p=_ELEMENT_PROBS).astype(np.int32)
+    # chain bonds (directed both ways), occasional double bond
+    src, dst, attr = [], [], []
+    for i in range(1, n_atoms):
+        order = int(rng.choice([1, 1, 1, 2]))
+        src += [i - 1, i]
+        dst += [i, i - 1]
+        attr += [order, order]
+    bond_index = np.asarray([src, dst], np.int64) if src else None
+    bond_attr = np.asarray(attr, np.int64) if attr else None
+    return types, pos, bond_index, bond_attr
+
+
+_ELEMENT_PROBS = np.array(
+    [0.005, 0.70, 0.12, 0.10, 0.02, 0.005, 0.005, 0.02, 0.02, 0.003, 0.002])
+_ELEMENT_PROBS = _ELEMENT_PROBS / _ELEMENT_PROBS.sum()
+
+
+def random_phore(rng: np.random.Generator, lig_pos: np.ndarray,
+                 data_name: str = "zinc_300", n_points: Optional[int] = None):
+    """Pharmacophore points near random ligand atoms (+ a few EX volumes)."""
+    vocab = phore_type_vocab(data_name)
+    n_types = len(vocab)
+    ex_idx = n_types - 1
+    if n_points is None:
+        n_points = int(rng.integers(4, 12))
+    feats, pos, norms = [], [], []
+    for _ in range(n_points):
+        anchor = lig_pos[rng.integers(len(lig_pos))]
+        p = anchor + rng.normal(scale=0.5, size=3)
+        is_ex = rng.random() < 0.25
+        tidx = ex_idx if is_ex else int(rng.integers(0, ex_idx))
+        onehot = np.zeros(n_types, np.float32)
+        onehot[tidx] = 1.0
+        alpha = np.float32(rng.uniform(0.5, 1.5))
+        has_norm = int(rng.random() < 0.5) if not is_ex else 0
+        if has_norm:
+            v = rng.normal(size=3)
+            v = v / np.linalg.norm(v)
+        else:
+            v = np.zeros(3)
+        # feature layout: [one-hot types, alpha, one_hot(has_norm, 2),
+        #                  one_hot(is_EX, 2)] (reference get_phore_data.py:55-68)
+        hn = np.zeros(2, np.float32)
+        hn[has_norm] = 1.0
+        ex = np.zeros(2, np.float32)
+        ex[int(is_ex)] = 1.0
+        feats.append(np.concatenate([onehot, [alpha], hn, ex]))
+        pos.append(p)
+        norms.append(v)
+    return (np.asarray(feats, np.float32), np.asarray(pos, np.float32),
+            np.asarray(norms, np.float32))
+
+
+def synthetic_sample(rng: np.random.Generator, data_name: str = "zinc_300",
+                     n_atoms: Optional[int] = None, n_lig: int = 32,
+                     n_phore: int = 16):
+    if n_atoms is None:
+        n_atoms = int(rng.integers(8, min(n_lig, 30) + 1))
+    types, lpos, bidx, battr = random_molecule(rng, n_atoms)
+    px, ppos, pnorm = random_phore(rng, lpos, data_name)
+    center = ppos.mean(axis=0)
+    lpos = lpos - center
+    ppos = ppos - center
+    return pad_sample(types, lpos, bidx, battr, px, ppos, pnorm, center,
+                      n_lig, n_phore)
+
+
+def synthetic_batch(seed: int, batch_size: int, data_name: str = "zinc_300",
+                    n_lig: int = 32, n_phore: int = 16):
+    rng = np.random.default_rng(seed)
+    return collate([synthetic_sample(rng, data_name, None, n_lig, n_phore)
+                    for _ in range(batch_size)])

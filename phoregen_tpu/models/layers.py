@@ -1,0 +1,351 @@
+"""Denoiser building blocks on padded dense graphs (flax.linen).
+
+TPU-first re-design of the reference's PyG layers
+(`models/uni_denoiser.py:13-298`): every scatter/segment op becomes a masked
+dense op over fixed-shape arrays, every edge list becomes either a [B, N, K]
+k-NN neighbour table or the dense [B, NL, NL] ligand bond grid, and the
+triplet enumeration becomes a factorized masked [B, NL, NL, NL] attention.
+
+Notation:  B batch, N = NP + NL composed nodes, NL ligand slots, K knn width,
+H hidden, heads = number of attention heads.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.masked import masked_softmax
+from ..ops.rbf import (angular_encoding, angular_encoding_freq_bands,
+                       gaussian_smearing, gaussian_smearing_offsets)
+
+ACTS = {
+    "relu": nn.relu, "gelu": nn.gelu, "silu": nn.silu, "tanh": jnp.tanh,
+    "sigmoid": nn.sigmoid, "leakyrelu": nn.leaky_relu, "elu": nn.elu,
+    "selu": nn.selu, "softplus": nn.softplus, "identity": lambda x: x,
+}
+
+
+def shifted_softplus(x):
+    """softplus(x) - log(2) (reference `models/common.py:58-64`)."""
+    return nn.softplus(x) - np.log(2.0)
+
+
+def gather_nodes(h: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """h: [B, N, F], idx: [B, M, K] -> [B, M, K, F] (h[b, idx[b,m,k]])."""
+    B, N, F = h.shape
+    _, M, K = idx.shape
+    flat = jnp.take_along_axis(h, idx.reshape(B, M * K, 1), axis=1)
+    return flat.reshape(B, M, K, F)
+
+
+class MLP(nn.Module):
+    """Linear stack with LayerNorm+act between layers.
+
+    Matches the reference `MLP` (`models/common.py:99-119`): num_layer linear
+    maps; after every non-final layer (or all layers if act_last) apply
+    LayerNorm (if norm) then the activation.
+    """
+    out_dim: int
+    hidden_dim: int
+    num_layer: int = 2
+    norm: bool = True
+    act_fn: str = "relu"
+    act_last: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        act = ACTS[self.act_fn]
+        for i in range(self.num_layer):
+            dim = self.out_dim if i == self.num_layer - 1 else self.hidden_dim
+            x = nn.Dense(dim)(x)
+            if i < self.num_layer - 1 or self.act_last:
+                if self.norm:
+                    x = nn.LayerNorm()(x)
+                x = act(x)
+        return x
+
+
+class NodeUpdateKNN(nn.Module):
+    """Multi-head attention node update over the k-NN neighbour table.
+
+    Parity: `NodeUpdateLayer` (reference `models/uni_denoiser.py:13-72`) with
+    scatter_softmax over incoming edges replaced by masked softmax over the
+    fixed K axis.
+    """
+    hidden_dim: int
+    n_heads: int
+    norm: bool = True
+    act_fn: str = "relu"
+    out_fc: bool = False
+
+    @nn.compact
+    def __call__(self, h, edge_feat, nbr_idx, nbr_mask, e_w=None):
+        """h: [B,N,H]; edge_feat: [B,N,K,Fe]; nbr_idx/nbr_mask: [B,N,K]."""
+        B, N, H = h.shape
+        K = nbr_idx.shape[-1]
+        d_head = self.hidden_dim // self.n_heads
+
+        hj = gather_nodes(h, nbr_idx)                       # [B,N,K,H] sources
+        hi = jnp.broadcast_to(h[:, :, None, :], hj.shape)   # destinations
+        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
+
+        k = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="hk")(kv_input)
+        v = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="hv")(kv_input)
+        if e_w is not None:
+            v = v * e_w[..., None]
+        q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="hq")(h)
+
+        k = k.reshape(B, N, K, self.n_heads, d_head)
+        v = v.reshape(B, N, K, self.n_heads, d_head)
+        q = q.reshape(B, N, 1, self.n_heads, d_head)
+        scores = jnp.sum(q * k, axis=-1) / np.sqrt(d_head)   # [B,N,K,heads]
+        alpha = masked_softmax(scores, nbr_mask[..., None], axis=2)
+        out = jnp.sum(alpha[..., None] * v, axis=2)          # [B,N,heads,dh]
+        out = out.reshape(B, N, self.hidden_dim)
+        if self.out_fc:
+            out = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                      act_fn=self.act_fn, name="node_output")(
+                jnp.concatenate([out, h], axis=-1))
+        return out
+
+
+class NodeUpdateDense(nn.Module):
+    """Node update attending over the dense [src, dst] pair grid.
+
+    Used (a) for ligand-bond message passing (edge features = bond hidden
+    state, pairs = all directed ligand pairs) and (b) for the fully-connected
+    phore self-encoder (edge feature = pairwise distance, self-loops KEPT to
+    match `fully_connect_two_graphs`, reference `models/common.py:329-356`).
+    """
+    hidden_dim: int
+    n_heads: int
+    norm: bool = True
+    act_fn: str = "relu"
+    out_fc: bool = False
+
+    @nn.compact
+    def __call__(self, h, edge_feat, pair_mask, e_w=None):
+        """h: [B,N,H]; edge_feat: [B,N_src,N_dst,Fe]; pair_mask same grid."""
+        B, N, H = h.shape
+        d_head = self.hidden_dim // self.n_heads
+
+        hi = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))  # dst along axis 2
+        hj = jnp.broadcast_to(h[:, :, None, :], (B, N, N, H))  # src along axis 1
+        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
+
+        k = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="hk")(kv_input)
+        v = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="hv")(kv_input)
+        if e_w is not None:
+            v = v * e_w[..., None]
+        q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="hq")(h)
+
+        k = k.reshape(B, N, N, self.n_heads, d_head)
+        v = v.reshape(B, N, N, self.n_heads, d_head)
+        q = q.reshape(B, 1, N, self.n_heads, d_head)             # per dst
+        scores = jnp.sum(q * k, axis=-1) / np.sqrt(d_head)       # [B,src,dst,heads]
+        alpha = masked_softmax(scores, pair_mask[..., None], axis=1)
+        out = jnp.sum(alpha[..., None] * v, axis=1)              # [B,dst,heads,dh]
+        out = out.reshape(B, N, self.hidden_dim)
+        if self.out_fc:
+            out = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                      act_fn=self.act_fn, name="node_output")(
+                jnp.concatenate([out, h], axis=-1))
+        return out
+
+
+class PosUpdateKNN(nn.Module):
+    """Equivariant position update over the k-NN table.
+
+    Parity: `PosUpdateLayer` (reference `models/uni_denoiser.py:168-209`):
+    value = scalar-per-head * rel_x, output = mean over heads.
+    """
+    hidden_dim: int
+    n_heads: int
+    norm: bool = True
+    act_fn: str = "relu"
+
+    @nn.compact
+    def __call__(self, h, rel_x, edge_feat, nbr_idx, nbr_mask, e_w=None):
+        """rel_x: [B,N,K,3] = x[dst] - x[src]."""
+        B, N, H = h.shape
+        K = nbr_idx.shape[-1]
+        d_head = self.hidden_dim // self.n_heads
+
+        hj = gather_nodes(h, nbr_idx)
+        hi = jnp.broadcast_to(h[:, :, None, :], hj.shape)
+        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
+
+        k = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="xk")(kv_input)
+        v = MLP(self.n_heads, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="xv")(kv_input)      # [B,N,K,heads]
+        if e_w is not None:
+            v = v * e_w[..., None]
+        v = v[..., None] * rel_x[:, :, :, None, :]            # [B,N,K,heads,3]
+        q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="xq")(h)
+
+        k = k.reshape(B, N, K, self.n_heads, d_head)
+        q = q.reshape(B, N, 1, self.n_heads, d_head)
+        scores = jnp.sum(q * k, axis=-1) / np.sqrt(d_head)
+        alpha = masked_softmax(scores, nbr_mask[..., None], axis=2)
+        out = jnp.sum(alpha[..., None] * v, axis=2)           # [B,N,heads,3]
+        return jnp.mean(out, axis=2)                          # [B,N,3]
+
+
+class PosUpdateDense(nn.Module):
+    """Equivariant position update over the dense ligand bond grid."""
+    hidden_dim: int
+    n_heads: int
+    norm: bool = True
+    act_fn: str = "relu"
+
+    @nn.compact
+    def __call__(self, h, rel_x, edge_feat, pair_mask, e_w=None):
+        """rel_x: [B,src,dst,3] = x[dst] - x[src]; edge_feat on same grid."""
+        B, N, H = h.shape
+        d_head = self.hidden_dim // self.n_heads
+
+        hi = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))
+        hj = jnp.broadcast_to(h[:, :, None, :], (B, N, N, H))
+        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
+
+        k = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="xk")(kv_input)
+        v = MLP(self.n_heads, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="xv")(kv_input)      # [B,N,N,heads]
+        if e_w is not None:
+            v = v * e_w[..., None]
+        v = v[..., None] * rel_x[:, :, :, None, :]            # [B,N,N,heads,3]
+        q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="xq")(h)
+
+        k = k.reshape(B, N, N, self.n_heads, d_head)
+        q = q.reshape(B, 1, N, self.n_heads, d_head)
+        scores = jnp.sum(q * k, axis=-1) / np.sqrt(d_head)
+        alpha = masked_softmax(scores, pair_mask[..., None], axis=1)
+        out = jnp.sum(alpha[..., None] * v, axis=1)           # [B,dst,heads,3]
+        return jnp.mean(out, axis=2)
+
+
+class BondUpdateTriplet(nn.Module):
+    """Triplet (k->j->i) angular attention over the dense ligand grid.
+
+    Parity: `BondUpdateLayer` (reference `models/uni_denoiser.py:75-165`)
+    with the SparseTensor triplet enumeration replaced by a factorized masked
+    [B, NL, NL, NL] attention:
+
+      kv_input(k,j,i) = [h_bond(k,j), rbf(d_kj), rbf(d_ji), ang(k,j,i), h_k, h_j]
+      q_input(j,i)    = [h_bond(j,i), h_i]                (include_h_node=True)
+      alpha over k grouped by target bond (j,i); i==k triplets masked out.
+
+    The first linear layer of the k/v MLPs is algebraically split into a
+    (k,j)-indexed term, a (j,i)-indexed term, and the 13-dim angular term —
+    only the angular contribution touches the O(NL^3) grid before the
+    nonlinearity, cutting the dominant matmul cost by ~30x versus naive
+    concatenation.
+    """
+    hidden_dim: int
+    n_heads: int
+    norm: bool = True
+    act_fn: str = "relu"
+    include_h_node: bool = True
+    num_ang_funcs: int = 3
+
+    @nn.compact
+    def __call__(self, h, h_bond, pos, node_mask):
+        """h: [B,NL,H]; h_bond: [B,NL,NL,H] (src,dst); pos: [B,NL,3];
+        node_mask: [B,NL]. Returns bond update [B,NL,NL,H]."""
+        B, N, H = h.shape
+        d_head = self.hidden_dim // self.n_heads
+        act = ACTS[self.act_fn]
+        offsets, coeff = gaussian_smearing_offsets(fix_offset=True)
+        offsets = jnp.asarray(offsets)
+        freq_bands = jnp.asarray(angular_encoding_freq_bands(self.num_ang_funcs))
+
+        # pairwise geometry
+        rel = pos[:, :, None, :] - pos[:, None, :, :]         # rel[x,i] = x - i
+        dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-12)  # [B,N,N]
+        r_feat = gaussian_smearing(dist, offsets, coeff)      # [B,N,N,20]
+
+        # angle at i between j->i and k->i, via |a×b|^2 = |a|^2|b|^2-(a.b)^2
+        # dot[j,k,i] = rel[j,i] . rel[k,i]
+        dot = jnp.einsum("bjic,bkic->bjki", rel, rel)         # [B,j,k,i]
+        nsq = jnp.sum(rel * rel, axis=-1)                      # [B,x,i]
+        cross_sq = nsq[:, :, None, :] * nsq[:, None, :, :] - dot * dot
+        cross = jnp.sqrt(jnp.clip(cross_sq, 0.0, None))
+        angle = jnp.arctan2(cross, dot)                        # [B,j,k,i]
+        a_feat = angular_encoding(angle, freq_bands)           # [B,j,k,i,13]
+        ang_dim = a_feat.shape[-1]
+
+        # ---- factorized first linear layer of the k/v MLPs ----
+        # full kv_input order: [h_bond_kj, r_kj, r_ji, a_feat, (h_k, h_j)]
+        # (k,j)-indexed block: h_bond[k,j] + r_feat[k,j] (+ h_k, h_j)
+        hk_exp = jnp.broadcast_to(h[:, :, None, :], (B, N, N, H))  # h[src=k]
+        hj_exp = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))  # h[dst=j]
+        if self.include_h_node:
+            f_kj = jnp.concatenate([h_bond, r_feat, hk_exp, hj_exp], axis=-1)
+        else:
+            f_kj = jnp.concatenate([h_bond, r_feat], axis=-1)
+        f_ji = r_feat                                             # (j,i) block
+
+        def fused_first_layer(name):
+            dense_kj = nn.Dense(self.hidden_dim, name=f"{name}_kj")
+            dense_ji = nn.Dense(self.hidden_dim, use_bias=False,
+                                name=f"{name}_ji")
+            dense_a = nn.Dense(self.hidden_dim, use_bias=False,
+                               name=f"{name}_ang")
+            a_kj = dense_kj(f_kj)              # [B,k,j,H]
+            a_ji = dense_ji(f_ji)              # [B,j,i,H]
+            a_ang = dense_a(a_feat)            # [B,j,k,i,H]
+            # triplet grid indexed [B, k, j, i, H]
+            pre = (a_kj[:, :, :, None, :] + a_ji[:, None, :, :, :]
+                   + a_ang.transpose(0, 2, 1, 3, 4))
+            return pre
+
+        def mlp_tail(pre, name):
+            if self.norm:
+                pre = nn.LayerNorm(name=f"{name}_ln")(pre)
+            pre = act(pre)
+            return nn.Dense(self.hidden_dim, name=f"{name}_out")(pre)
+
+        k_t = mlp_tail(fused_first_layer("hk"), "hk")   # [B,k,j,i,H]
+        v_t = mlp_tail(fused_first_layer("hv"), "hv")
+
+        # query per target bond (j,i)
+        if self.include_h_node:
+            hi_exp = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))
+            q_input = jnp.concatenate([h_bond, hi_exp], axis=-1)
+        else:
+            q_input = h_bond
+        q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="hq")(q_input)  # [B,j,i,H]
+
+        k_t = k_t.reshape(B, N, N, N, self.n_heads, d_head)
+        v_t = v_t.reshape(B, N, N, N, self.n_heads, d_head)
+        q = q.reshape(B, 1, N, N, self.n_heads, d_head)
+        scores = jnp.sum(q * k_t, axis=-1) / np.sqrt(d_head)  # [B,k,j,i,heads]
+
+        # triplet mask: k,j,i valid; k!=j (bond k->j exists); j!=i (target
+        # bond exists); k!=i (reference `uni_denoiser.py:115`)
+        m = node_mask
+        valid = (m[:, :, None, None] & m[:, None, :, None] & m[:, None, None, :])
+        idx = jnp.arange(N)
+        neq_kj = idx[:, None, None] != idx[None, :, None]
+        neq_ji = idx[None, :, None] != idx[None, None, :]
+        neq_ki = idx[:, None, None] != idx[None, None, :]
+        tri_mask = valid & (neq_kj & neq_ji & neq_ki)[None]
+
+        alpha = masked_softmax(scores, tri_mask[..., None], axis=1)  # over k
+        out = jnp.sum(alpha[..., None] * v_t, axis=1)  # [B,j,i,heads,dh]
+        return out.reshape(B, N, N, self.hidden_dim)

@@ -45,6 +45,7 @@ def knn_neighbors(x: jnp.ndarray, mask: jnp.ndarray, k: int,
       nbr_mask: [B, N, K] bool; True where the edge nbr_idx[b,i,m] -> i exists.
     """
     B, N = mask.shape
+    k = min(k, N - 1)  # a graph of N nodes has at most N-1 neighbours
     d2 = pairwise_sq_dist(x)  # [B, N, N], axis -1 = candidate source j
     eye = jnp.eye(N, dtype=bool)
     valid_pair = mask[:, None, :] & mask[:, :, None] & ~eye  # [B, dst, src]
