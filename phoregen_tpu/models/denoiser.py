@@ -57,10 +57,10 @@ class UniDenoiser(nn.Module):
     h_node_in_bond_net: bool = True
     direction_match: bool = True
     use_global_ew: bool = True
-    num_phore: int = 0          # NP, static split point of the composed axis
 
     @nn.compact
-    def __call__(self, h, x, h_bond, node_mask, phore_norm=None):
+    def __call__(self, h, x, h_bond, node_mask, phore_norm=None,
+                 num_phore: int = 0):
         """
         Args:
           h: [B, N, H] composed features ([phore; ligand]).
@@ -71,7 +71,7 @@ class UniDenoiser(nn.Module):
         Returns dict(x, h, h_bond).
         """
         B, N, H = h.shape
-        NP = self.num_phore
+        NP = num_phore
         NL = N - NP
         offsets, coeff = gaussian_smearing_offsets(fix_offset=True)
         offsets = jnp.asarray(offsets)
@@ -92,7 +92,7 @@ class UniDenoiser(nn.Module):
                             x2h_out_fc=self.x2h_out_fc,
                             include_h_node=self.h_node_in_bond_net,
                             direction_match=self.direction_match,
-                            num_phore=NP, name=f"layer_{i}")
+                            name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         if self.use_global_ew:
@@ -117,7 +117,8 @@ class UniDenoiser(nn.Module):
             for layer in layers:
                 h, h_bond, x = layer(h, x, edge_type, nbr_idx, nbr_mask,
                                      h_bond, mask_l, pair_mask, node_mask,
-                                     e_w=e_w, phore_norm=phore_norm)
+                                     e_w=e_w, phore_norm=phore_norm,
+                                     num_phore=NP)
         return {"x": x, "h": h, "h_bond": h_bond}
 
 
@@ -136,13 +137,13 @@ class _AttentionLayer(nn.Module):
     x2h_out_fc: bool
     include_h_node: bool
     direction_match: bool
-    num_phore: int
 
     @nn.compact
     def __call__(self, h, x, edge_type, nbr_idx, nbr_mask, h_bond,
-                 mask_l, pair_mask, node_mask, e_w=None, phore_norm=None):
+                 mask_l, pair_mask, node_mask, e_w=None, phore_norm=None,
+                 num_phore: int = 0):
         B, N, H = h.shape
-        NP = self.num_phore
+        NP = num_phore
         NL = N - NP
         offsets, coeff = gaussian_smearing_offsets(fix_offset=True)
         offsets = jnp.asarray(offsets)

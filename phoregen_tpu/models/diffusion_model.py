@@ -31,15 +31,81 @@ class PhoreDiffNet(nn.Module):
     config: ModelConfig
     ex_col: int  # EX one-hot column (12 for 13-type vocab, else 10)
 
+    def setup(self):
+        cfg = self.config
+        H = cfg.hidden_dim
+        td = cfg.diff.time_dim
+        d = cfg.denoiser
+        self.node_embedder = nn.Dense(H - td, use_bias=False)
+        self.phore_embedding = nn.Dense(H)
+        if cfg.hp_emb_with_pos:
+            self.phore_encoder = NodeUpdateDense(
+                hidden_dim=H, n_heads=d.n_heads, norm=d.norm,
+                act_fn=d.act_fn, out_fc=d.x2h_out_fc)
+        if cfg.bond_diffusion:
+            self.edge_embedder = nn.Dense(H - td, use_bias=False)
+            self.bond_inference_0 = nn.Dense(H)
+            self.bond_inference_2 = nn.Dense(cfg.num_bond_classes)
+        else:
+            self.distance_embedding = nn.Dense(H - td)
+        self.denoiser = UniDenoiser(
+            num_blocks=d.num_blocks, num_layers=d.num_layers, hidden_dim=H,
+            n_heads=d.n_heads, knn=d.knn, edge_feat_dim=d.edge_feat_dim,
+            num_r_gaussian=d.num_r_gaussian, act_fn=d.act_fn, norm=d.norm,
+            cutoff_mode=d.cutoff_mode, r_max=d.r_max,
+            x2h_out_fc=d.x2h_out_fc,
+            h_node_in_bond_net=d.h_node_in_bond_net,
+            direction_match=d.direction_match,
+            use_global_ew=d.use_global_ew)
+        self.v_inference_0 = nn.Dense(H)
+        self.v_inference_2 = nn.Dense(cfg.num_atom_classes)
+        self.atom_mlp_0 = nn.Dense(2 * H)
+        self.atom_mlp_2 = nn.Dense(1)
+        self.atom_mlp_1_0 = nn.Dense(2 * H)
+        self.atom_mlp_1_2 = nn.Dense(1)
+
     def _time_embed(self, t: jnp.ndarray) -> jnp.ndarray:
-        """t: [B] int -> [B, time_dim] linear Gaussian-grid embedding."""
+        """t: [B] int -> [B, time_dim] linear Gaussian-grid embedding
+        (reference `TimeGaussianSmearing`, `models/common.py:34-55`)."""
         cfg = self.config
         offs, coeff = time_smearing_offsets(
             0.0, cfg.diff.num_timesteps, cfg.diff.time_dim, "linear")
         return time_smearing(t, jnp.asarray(offs), jnp.asarray(coeff),
                              0.0, cfg.diff.num_timesteps)
 
-    @nn.compact
+    def embed_phore(self, phore_x, phore_pos, phore_mask):
+        """Linear embed + optional fully-connected self-attention encoder
+        (self-loops kept, matching `fully_connect_two_graphs`)."""
+        h = self.phore_embedding(phore_x)
+        if self.config.hp_emb_with_pos:
+            d = phore_pos[:, :, None, :] - phore_pos[:, None, :, :]
+            dist = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
+            pmask = phore_mask[:, :, None] & phore_mask[:, None, :]
+            h = self.phore_encoder(h, dist, pmask)
+        return h
+
+    def predict_atom_count(self, h_p, raw_phore_x, phore_mask):
+        """[lower, upper] interval over the normalized atom count.
+
+        Parity: reference `models/diffusion.py:148-163`; the lower bound uses
+        only non-EX phore nodes via the raw feature column, upper = lower +
+        relu(mean_all - lower). Means are masked (padding excluded)."""
+        count_all = nn.sigmoid(self.atom_mlp_2(
+            nn.relu(self.atom_mlp_0(h_p))))                  # [B, NP, 1]
+        count_all = masked_mean(count_all, phore_mask[..., None], axis=1)
+        mask_nonex = (raw_phore_x[..., self.ex_col] != 1) & phore_mask
+        count_l = nn.sigmoid(self.atom_mlp_1_2(
+            nn.relu(self.atom_mlp_1_0(h_p))))
+        count_l = masked_mean(count_l, mask_nonex[..., None], axis=1)
+        count_u = count_l + nn.relu(count_all - count_l)
+        return count_l, count_u
+
+    def count_interval(self, phore_x, phore_pos, phore_norm, phore_mask):
+        """Standalone atom-count prediction used by `sample_nodes`
+        (reference `models/diffusion.py:356-387`)."""
+        h_p = self.embed_phore(phore_x, phore_pos, phore_mask)
+        return self.predict_atom_count(h_p, phore_x, phore_mask)
+
     def __call__(self, h_node_pert, pos_pert, lig_mask, h_edge_pert,
                  t, phore_x, phore_pos, phore_norm, phore_mask):
         """
@@ -62,35 +128,22 @@ class PhoreDiffNet(nn.Module):
 
         # ---- embeddings ----
         t_emb = self._time_embed(t)                                 # [B, td]
-        node_emb = nn.Dense(H - time_dim, use_bias=False,
-                            name="node_embedder")(h_node_pert)
+        node_emb = self.node_embedder(h_node_pert)
         h_node = jnp.concatenate(
             [node_emb, jnp.broadcast_to(t_emb[:, None, :], (B, NL, time_dim))],
             axis=-1)
 
-        h_phore_emb = nn.Dense(H, name="phore_embedding")(phore_x)
-        if cfg.hp_emb_with_pos:
-            # fully-connected phore graph WITH self loops
-            # (reference `fully_connect_two_graphs`, `models/common.py:329-356`)
-            d = phore_pos[:, :, None, :] - phore_pos[:, None, :, :]
-            dist = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
-            pmask = phore_mask[:, :, None] & phore_mask[:, None, :]
-            h_phore_emb = NodeUpdateDense(
-                hidden_dim=H, n_heads=cfg.denoiser.n_heads,
-                norm=cfg.denoiser.norm, act_fn=cfg.denoiser.act_fn,
-                out_fc=cfg.denoiser.x2h_out_fc,
-                name="phore_encoder")(h_phore_emb, dist, pmask)
+        h_phore_emb = self.embed_phore(phore_x, phore_pos, phore_mask)
 
         if cfg.bond_diffusion:
-            edge_emb = nn.Dense(H - time_dim, use_bias=False,
-                                name="edge_embedder")(h_edge_pert)
+            edge_emb = self.edge_embedder(h_edge_pert)
             h_edge = jnp.concatenate(
                 [edge_emb, jnp.broadcast_to(t_emb[:, None, None, :],
                                             (B, NL, NL, time_dim))], axis=-1)
         else:
             d = pos_pert[:, None, :, :] - pos_pert[:, :, None, :]
             dist = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
-            dist_emb = nn.Dense(H - time_dim, name="distance_embedding")(dist)
+            dist_emb = self.distance_embedding(dist)
             h_edge = jnp.concatenate(
                 [dist_emb, jnp.broadcast_to(t_emb[:, None, None, :],
                                             (B, NL, NL, time_dim))], axis=-1)
@@ -100,27 +153,15 @@ class PhoreDiffNet(nn.Module):
         pos_all = jnp.concatenate([phore_pos, pos_pert], axis=1)
         node_mask = jnp.concatenate([phore_mask, lig_mask], axis=1)
 
-        dcfg = cfg.denoiser
-        outputs = UniDenoiser(
-            num_blocks=dcfg.num_blocks, num_layers=dcfg.num_layers,
-            hidden_dim=H, n_heads=dcfg.n_heads, knn=dcfg.knn,
-            edge_feat_dim=dcfg.edge_feat_dim,
-            num_r_gaussian=dcfg.num_r_gaussian, act_fn=dcfg.act_fn,
-            norm=dcfg.norm, cutoff_mode=dcfg.cutoff_mode, r_max=dcfg.r_max,
-            x2h_out_fc=dcfg.x2h_out_fc,
-            h_node_in_bond_net=dcfg.h_node_in_bond_net,
-            direction_match=dcfg.direction_match,
-            use_global_ew=dcfg.use_global_ew, num_phore=NP,
-            name="denoiser")(h_all, pos_all, h_edge, node_mask,
-                             phore_norm=phore_norm)
+        outputs = self.denoiser(h_all, pos_all, h_edge, node_mask,
+                                phore_norm=phore_norm, num_phore=NP)
 
         final_pos = outputs["x"][:, NP:]
         final_h = outputs["h"][:, NP:]
 
         # ---- heads ----
-        vh = nn.Dense(H, name="v_inference_0")(final_h)
-        pred_node = nn.Dense(cfg.num_atom_classes, name="v_inference_2")(
-            shifted_softplus(vh))
+        pred_node = self.v_inference_2(
+            shifted_softplus(self.v_inference_0(final_h)))
 
         pred_edge = None
         if cfg.bond_diffusion:
@@ -128,46 +169,19 @@ class PhoreDiffNet(nn.Module):
                 bond_in = outputs["h_bond"]
             elif cfg.bond_net_type == "pre_att":
                 offs, coeff = gaussian_smearing_offsets(
-                    0.0, 5.0, num_gaussians=dcfg.num_r_gaussian,
+                    0.0, 5.0, num_gaussians=cfg.denoiser.num_r_gaussian,
                     fix_offset=False)
                 d = final_pos[:, None, :, :] - final_pos[:, :, None, :]
                 dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
                 r_feat = gaussian_smearing(dist, jnp.asarray(offs), coeff)
                 hi = final_h[:, None, :, :]  # dst
                 hj = final_h[:, :, None, :]  # src
-                hij = jnp.broadcast_to((hi + hj) / 2,
-                                       (B, NL, NL, H))
+                hij = jnp.broadcast_to((hi + hj) / 2, (B, NL, NL, H))
                 bond_in = jnp.concatenate([r_feat, hij], axis=-1)
             else:
                 raise ValueError(cfg.bond_net_type)
-            bh = nn.Dense(H, name="bond_inference_0")(bond_in)
-            pred_edge = nn.Dense(cfg.num_bond_classes, name="bond_inference_2")(
-                shifted_softplus(bh))
+            pred_edge = self.bond_inference_2(
+                shifted_softplus(self.bond_inference_0(bond_in)))
 
         pred_count = self.predict_atom_count(h_phore_emb, phore_x, phore_mask)
         return pred_node, final_pos, pred_edge, pred_count
-
-    @nn.compact
-    def predict_atom_count(self, h_p, raw_phore_x, phore_mask):
-        """[lower, upper] interval over normalized atom count.
-
-        Parity: reference `models/diffusion.py:148-163`; lower bound uses only
-        non-EX phore nodes via the raw feature column, upper = lower +
-        relu(mean_all - lower). Means are masked (padded slots excluded —
-        implicit in the reference's unpadded layout).
-        """
-        cfg = self.config
-        H = cfg.hidden_dim
-
-        def head(name, x):
-            y = nn.Dense(2 * H, name=f"{name}_0")(x)
-            y = nn.Dense(1, name=f"{name}_2")(nn.relu(y))
-            return nn.sigmoid(y)
-
-        count_all = head("atom_mlp", h_p)                    # [B, NP, 1]
-        count_all = masked_mean(count_all, phore_mask[..., None], axis=1)
-        mask_nonex = (raw_phore_x[..., self.ex_col] != 1) & phore_mask
-        count_l = head("atom_mlp_1", h_p)
-        count_l = masked_mean(count_l, mask_nonex[..., None], axis=1)
-        count_u = count_l + nn.relu(count_all - count_l)
-        return count_l, count_u
