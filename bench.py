@@ -1,0 +1,66 @@
+"""Benchmark: molecules/sec/chip at 1000-step reverse-diffusion sampling.
+
+Flagship model at reference scale (hidden 128, 1 block x 6 layers, 16 heads,
+knn 32, T=1000 — reference `configs/train_lig-phore.yml:41-56`), batch of
+pharmacophore-conditioned graphs padded to a 48-atom bucket (ZINC-scale
+molecules), whole reverse process as one compiled lax.scan on device.
+
+Baseline (BASELINE.json north star): >= 100 molecules/sec/chip on v5e.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+BASELINE_MOL_PER_SEC = 100.0
+
+
+def main():
+    from phoregen_tpu.config import default_config
+    from phoregen_tpu.data.loader import PhoreDataLoader
+    from phoregen_tpu.data.synthetic import synthetic_dataset
+    from phoregen_tpu.models.phoregen import PhoreGen
+    from phoregen_tpu.sample.sampler import Sampler
+
+    cfg = default_config("zinc_300")
+    cfg.dataset.ligand_buckets = [48]
+    cfg.dataset.max_phore = 32
+    batch_size = 128
+
+    pg = PhoreGen(cfg)
+    samples = synthetic_dataset(0, batch_size, max_atoms=30)
+    loader = PhoreDataLoader(samples, cfg, batch_size, shuffle=False)
+    batch = next(iter(loader))
+
+    key = jax.random.PRNGKey(0)
+    params = pg.init_params(key, batch)
+
+    sampler = Sampler(pg)
+    run = jax.jit(lambda p, k, b: sampler.sample(p, k, b))
+
+    # compile + warmup
+    out = run(params, key, batch)
+    jax.block_until_ready(out)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = run(params, jax.random.PRNGKey(i + 1), batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    mol_per_sec = batch_size / dt
+    print(json.dumps({
+        "metric": "sampling_throughput_1000step",
+        "value": round(mol_per_sec, 3),
+        "unit": "molecules/sec/chip",
+        "vs_baseline": round(mol_per_sec / BASELINE_MOL_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Sampling CLI: `python -m phoregen_tpu.cli.sample --ckpt ... --phore ...`.
+
+Parity target: reference `sample_all.py:20-183` flags and loop: per-phore
+pool generation with retry budget, JSON-valued --pos_guidance_opt, node-count
+sampling modes, SDF/SMILES/timing outputs. Phore inputs: one or more .phore
+paths, a directory, or a file_index.json mapping names to paths.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="PhoreGen-TPU sampling")
+    p.add_argument("--config", type=str, default="",
+                   help="YAML config; defaults to the one in the checkpoint")
+    p.add_argument("--ckpt", type=str, required=True,
+                   help="checkpoint prefix (expects <ckpt>.msgpack)")
+    p.add_argument("--phore", type=str, nargs="+", required=True,
+                   help=".phore files, a directory, or a file_index.json")
+    p.add_argument("--result_path", type=str, default="./results/sampling")
+    p.add_argument("--num_samples", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=30)
+    p.add_argument("--sample_nodes_mode", type=str, default="uniform",
+                   choices=["uniform", "normal"])
+    p.add_argument("--normal_scale", type=float, default=4.0)
+    p.add_argument("--add_edge", type=str, default="predicted",
+                   choices=["predicted", "distance", "openbabel"])
+    p.add_argument("--pos_guidance_opt", type=str, default="",
+                   help='JSON, e.g. \'[{"type":"atom_prox","min_d":1.0,'
+                        '"max_d":3.0},{"type":"center_prox"}]\'')
+    p.add_argument("--save_traj", action="store_true")
+    p.add_argument("--seed", type=int, default=2024)
+    p.add_argument("--use_ema", action="store_true",
+                   help="sample with the EMA shadow params")
+    p.add_argument("--platform", type=str, default="",
+                   help="force a JAX platform (e.g. cpu, tpu)")
+    return p.parse_args(argv)
+
+
+def resolve_phore_paths(specs):
+    paths = []
+    for s in specs:
+        if s.endswith(".json"):
+            with open(s) as f:
+                index = json.load(f)
+            base = os.path.dirname(s)
+            vals = index.values() if isinstance(index, dict) else index
+            for v in vals:
+                v = v if isinstance(v, str) else v.get("phore", "")
+                paths.append(v if os.path.isabs(v) else
+                             os.path.join(base, v))
+        elif os.path.isdir(s):
+            paths.extend(sorted(glob.glob(os.path.join(s, "*.phore"))))
+        else:
+            paths.append(s)
+    return paths
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..config import config_from_dict, load_config
+    from ..models.phoregen import PhoreGen
+    from ..sample.pipeline import GenerationPipeline
+    from ..sample.sampler import GuidanceOpt
+    from ..train.checkpoint import load_checkpoint
+    from ..train.state import create_train_state
+    from ..data.batching import collate
+    from ..data.synthetic import synthetic_sample
+
+    with open(args.ckpt + ".json") as f:
+        meta = json.load(f)
+    if args.config:
+        cfg = load_config(args.config)
+    else:
+        cfg = config_from_dict(meta["config"])
+
+    pg = PhoreGen(cfg)
+    # template params for deserialization
+    rng = np.random.default_rng(0)
+    example = collate([synthetic_sample(
+        rng, cfg.dataset.data_name,
+        n_lig=min(cfg.dataset.ligand_buckets),
+        n_phore=cfg.dataset.max_phore)])
+    params = pg.init_params(jax.random.PRNGKey(0), example)
+    state, _ = load_checkpoint(args.ckpt, create_train_state(cfg.train,
+                                                             params))
+    params = state.ema_params if args.use_ema else state.params
+    print(f"[I] Loaded checkpoint {args.ckpt} (epoch {meta.get('epoch')})")
+
+    guidance = None
+    if args.pos_guidance_opt:
+        guidance = [GuidanceOpt(**g) for g in
+                    json.loads(args.pos_guidance_opt)]
+
+    pipeline = GenerationPipeline(
+        pg, params, guidance=guidance,
+        sample_nodes_mode=args.sample_nodes_mode,
+        normal_scale=args.normal_scale, add_edge=args.add_edge,
+        batch_size=args.batch_size, keep_traj=args.save_traj,
+        seed=args.seed)
+
+    os.makedirs(args.result_path, exist_ok=True)
+    n_ok = n_fail = 0
+    for path in resolve_phore_paths(args.phore):
+        res = pipeline.generate_from_file(path, args.num_samples,
+                                          out_dir=args.result_path)
+        n_ok += res["n_finished"]
+        n_fail += res["n_failed"]
+        print(f"[I] {res['name']}: {res['n_finished']}/{args.num_samples} "
+              f"in {res['seconds']:.1f}s (failed {res['n_failed']}, "
+              f"count interval {res['count_interval']})"
+              + (" [ABANDONED]" if res["abandoned"] else ""))
+    print(f"[I] Total generated: {n_ok}, failed reconstructions: {n_fail}")
+
+
+if __name__ == "__main__":
+    main()

@@ -101,9 +101,13 @@ def pad_sample(lig_type: np.ndarray, lig_pos: np.ndarray,
 
 
 def collate(samples: List[dict]) -> PhoreGraphBatch:
-    """Stack padded host samples into a device batch."""
+    """Stack padded host samples into a batch of host numpy arrays.
+
+    Leaves stay numpy: jit `in_shardings` (or an explicit `shard_batch`)
+    performs the single host->device transfer — no per-leaf eager dispatch.
+    """
     stack = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-    return PhoreGraphBatch(**{k: jnp.asarray(v) for k, v in stack.items()})
+    return PhoreGraphBatch(**stack)
 
 
 def replicate_phore(sample: dict, n_graphs: int,

@@ -80,6 +80,30 @@ def random_phore(rng: np.random.Generator, lig_pos: np.ndarray,
             np.asarray(norms, np.float32))
 
 
+def synthetic_raw(rng: np.random.Generator, data_name: str = "zinc_300",
+                  n_atoms: Optional[int] = None, max_atoms: int = 30):
+    """Unpadded RawSample for the bucketed loader (training-path substitute
+    for RDKit-parsed molecules in RDKit-less environments and tests)."""
+    from .loader import RawSample
+    if n_atoms is None:
+        n_atoms = int(rng.integers(8, max_atoms + 1))
+    types, lpos, bidx, battr = random_molecule(rng, n_atoms)
+    px, ppos, pnorm = random_phore(rng, lpos, data_name)
+    center = ppos.mean(axis=0)
+    return RawSample(
+        lig_type=types, lig_pos=(lpos - center).astype(np.float32),
+        bond_index=bidx, bond_attr=battr, phore_x=px,
+        phore_pos=(ppos - center).astype(np.float32), phore_norm=pnorm,
+        center=center.astype(np.float32), name=f"synthetic_{n_atoms}")
+
+
+def synthetic_dataset(seed: int, n_samples: int,
+                      data_name: str = "zinc_300", max_atoms: int = 30):
+    rng = np.random.default_rng(seed)
+    return [synthetic_raw(rng, data_name, None, max_atoms)
+            for _ in range(n_samples)]
+
+
 def synthetic_sample(rng: np.random.Generator, data_name: str = "zinc_300",
                      n_atoms: Optional[int] = None, n_lig: int = 32,
                      n_phore: int = 16):

@@ -89,14 +89,20 @@ class PhoreGen:
 
     # ----- init -----
     def init_params(self, key: jax.Array, batch: PhoreGraphBatch):
+        """Jitted parameter init: one compile instead of per-op eager
+        dispatch (the latter is pathologically slow in sandboxed CPU envs)."""
         mcfg = self.config.model
-        B, NL = batch.lig_type.shape
-        h_node = jax.nn.one_hot(batch.lig_type, mcfg.num_atom_classes)
-        h_edge = jax.nn.one_hot(batch.bond_type, mcfg.num_bond_classes)
-        t = jnp.zeros((B,), jnp.int32)
-        return self.net.init(key, h_node, batch.lig_pos, batch.lig_mask,
-                             h_edge, t, batch.phore_x, batch.phore_pos,
-                             batch.phore_norm, batch.phore_mask)
+
+        def _init(key, batch):
+            B = batch.lig_type.shape[0]
+            h_node = jax.nn.one_hot(batch.lig_type, mcfg.num_atom_classes)
+            h_edge = jax.nn.one_hot(batch.bond_type, mcfg.num_bond_classes)
+            t = jnp.zeros((B,), jnp.int32)
+            return self.net.init(key, h_node, batch.lig_pos, batch.lig_mask,
+                                 h_edge, t, batch.phore_x, batch.phore_pos,
+                                 batch.phore_norm, batch.phore_mask)
+
+        return jax.jit(_init)(key, batch)
 
     # ----- time sampling -----
     def sample_time(self, key: jax.Array, num_graphs: int) -> jnp.ndarray:

@@ -1,0 +1,5 @@
+from .mesh import (batch_sharding, make_mesh, replicated_sharding,
+                   shard_batch, local_batch_slice)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
+           "shard_batch", "local_batch_slice"]

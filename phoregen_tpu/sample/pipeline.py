@@ -1,0 +1,158 @@
+"""Per-pharmacophore generation pool with retry budget and outputs.
+
+Parity target: the `sample_all.py` driver loop (reference
+`sample_all.py:69-183`): for each pharmacophore, repeatedly sample batches
+(<= batch_size graphs) until `num_samples` molecules pass reconstruction, or
+the failure budget (3 x num_samples) is exhausted; accepted molecules must
+RDKit-sanitize AND be connected (no '.' in SMILES, :127-135); outputs per-mol
+SDF + SMILES txt + pool dump + timing rows.
+
+TPU-first design: one compiled sampler per (batch, ligand-bucket) shape,
+cached across pools and pharmacophores; per-graph atom counts become node
+masks inside the padded batch, so every retry reuses the same executable.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.batching import pad_sample, pick_bucket, collate, replicate_phore
+from ..data.phore import Phore, featurize_phore, parse_phore_file
+from ..models.phoregen import PhoreGen
+from .decode import decode_batch
+from .reconstruct import mol_is_connected, reconstruct_from_generated_with_edges
+from .chem import MolReconsError, mol_to_smiles
+from .sampler import GuidanceOpt, Sampler
+from .writers import append_sdf, append_timing, write_sdf, write_smiles
+
+
+class GenerationPipeline:
+    def __init__(self, pg: PhoreGen, params,
+                 guidance: Optional[Sequence[GuidanceOpt]] = None,
+                 sample_nodes_mode: str = "uniform", normal_scale: float = 4.0,
+                 add_edge: str = "predicted", batch_size: int = 30,
+                 keep_traj: bool = False, seed: int = 2024):
+        self.pg = pg
+        self.params = params
+        self.cfg = pg.config
+        self.sampler = Sampler(pg, guidance=guidance, keep_traj=keep_traj)
+        self.sample_nodes_mode = sample_nodes_mode
+        self.normal_scale = normal_scale
+        self.add_edge = add_edge
+        self.batch_size = batch_size
+        self.keep_traj = keep_traj
+        self.key = jax.random.PRNGKey(seed)
+        self._compiled = {}  # (B, NL, NP) -> jitted sample fn
+        self._count_fn = None
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ----- compiled entry points -----
+    def _sample_fn(self, shape_key):
+        if shape_key not in self._compiled:
+            self._compiled[shape_key] = jax.jit(
+                lambda p, k, b: self.sampler.sample(p, k, b))
+        return self._compiled[shape_key]
+
+    def _count_interval(self, phore_sample: Dict) -> Tuple[int, int]:
+        """Predicted [lower, upper] heavy-atom interval for one phore."""
+        if self._count_fn is None:
+            self._count_fn = jax.jit(
+                lambda p, b: self.sampler.predict_count_interval(p, b))
+        batch = collate([phore_sample])
+        lo, up = self._count_fn(self.params, batch)
+        return int(np.asarray(lo)[0]), int(np.asarray(up)[0])
+
+    # ----- phore preparation -----
+    def prepare_phore(self, phore: Phore) -> Dict:
+        """Featurize + center + pad one pharmacophore into a sample dict with
+        empty ligand stubs (reference `datasets/get_phore_data.py:12-105`)."""
+        ds = self.cfg.dataset
+        feats, pos, norm, center = featurize_phore(
+            phore, ds.data_name, norm_mode="new")
+        pos = pos - center
+        n_lig = min(ds.ligand_buckets)
+        return pad_sample(
+            np.zeros(0, np.int32), np.zeros((0, 3), np.float32), None, None,
+            feats, pos, norm, center, n_lig, ds.max_phore)
+
+    # ----- one pool -----
+    def sample_pool(self, phore_sample: Dict, n_graphs: int,
+                    lower: int, upper: int) -> List[Dict]:
+        """One compiled sampling batch -> decoded per-molecule dicts."""
+        ds = self.cfg.dataset
+        counts = Sampler.sample_counts(
+            self._next_key(), lower, upper, n_graphs,
+            mode=self.sample_nodes_mode, scale=self.normal_scale)
+        n_lig = pick_bucket(int(counts.max()), ds.ligand_buckets)
+        batch = replicate_phore(phore_sample, n_graphs, counts, n_lig)
+        fn = self._sample_fn((n_graphs, n_lig, ds.max_phore))
+        out = fn(self.params, self._next_key(), batch)
+        return decode_batch(
+            np.asarray(out["pred_node"]), np.asarray(out["pred_pos"]),
+            None if out["pred_edge"] is None else np.asarray(out["pred_edge"]),
+            np.asarray(out["lig_mask"]),
+            include_bond=self.cfg.model.bond_diffusion), out
+
+    # ----- reconstruction + acceptance -----
+    def reconstruct(self, mol_info: Dict):
+        """Returns (mol, smiles) or raises MolReconsError."""
+        mol = reconstruct_from_generated_with_edges(
+            mol_info, add_edge=self.add_edge)
+        smiles = mol_to_smiles(mol)
+        if smiles is None or "." in smiles:
+            raise MolReconsError("disconnected molecule")
+        return mol, smiles
+
+    # ----- full per-phore loop -----
+    def generate(self, phore: Phore, num_samples: int,
+                 out_dir: Optional[str] = None,
+                 fail_budget_factor: int = 3) -> Dict:
+        t0 = time.time()
+        name = phore.name or "phore"
+        phore_sample = self.prepare_phore(phore)
+        lower, upper = self._count_interval(phore_sample)
+        mols, smiles_list = [], []
+        n_failed = 0
+        budget = fail_budget_factor * num_samples
+        while len(mols) < num_samples and n_failed < budget:
+            n = min(self.batch_size, num_samples - len(mols))
+            decoded, _ = self.sample_pool(phore_sample, n, lower, upper)
+            for info in decoded:
+                try:
+                    mol, smi = self.reconstruct(info)
+                except MolReconsError:
+                    n_failed += 1
+                    continue
+                mols.append(mol)
+                smiles_list.append(smi)
+        elapsed = time.time() - t0
+
+        if out_dir:
+            mol_dir = os.path.join(out_dir, name)
+            os.makedirs(mol_dir, exist_ok=True)
+            for i, mol in enumerate(mols):
+                write_sdf(mol, os.path.join(mol_dir, f"{i}.sdf"),
+                          name=f"{name}_{i}")
+            write_smiles(smiles_list,
+                         os.path.join(mol_dir, f"{name}_smiles.txt"))
+            append_timing(os.path.join(out_dir, "time_chain.txt"),
+                          name, len(mols), elapsed)
+        return {
+            "name": name, "mols": mols, "smiles": smiles_list,
+            "n_finished": len(mols), "n_failed": n_failed,
+            "count_interval": (lower, upper), "seconds": elapsed,
+            "abandoned": len(mols) < num_samples,
+        }
+
+    def generate_from_file(self, phore_path: str, num_samples: int,
+                           out_dir: Optional[str] = None) -> Dict:
+        return self.generate(parse_phore_file(phore_path), num_samples,
+                             out_dir)

@@ -1,0 +1,66 @@
+"""End-to-end generation pipeline test on a tiny model: phore file ->
+count interval -> compiled reverse sampling -> decode -> reconstruction ->
+SDF/SMILES outputs (reference sample_all.py flow, SURVEY.md §3.3)."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from phoregen_tpu.data.phore import parse_phore_text
+from phoregen_tpu.models.phoregen import PhoreGen
+from phoregen_tpu.sample.pipeline import GenerationPipeline
+from phoregen_tpu.sample.sampler import GuidanceOpt
+from tests.test_train import tiny_config
+
+PHORE_TEXT = """pipe_phore
+AR\t1.0\t1\t1\t1.0\t2.0\t3.0\t1\t0.0\t0.0\t1.0\t0\t1
+HD\t0.7\t1\t1\t-1.0\t0.5\t2.0\t0\t0.0\t0.0\t0.0\t0\t1
+HY\t1.0\t1\t1\t0.5\t-1.0\t1.0\t0\t0.0\t0.0\t0.0\t0\t1
+EX\t0.837\t0.5\t1\t4.0\t4.0\t4.0\t0\t0.0\t0.0\t0.0\t0\t1
+$$$$
+"""
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    cfg = tiny_config()
+    pg = PhoreGen(cfg)
+    from phoregen_tpu.data.loader import PhoreDataLoader
+    from phoregen_tpu.data.synthetic import synthetic_dataset
+    loader = PhoreDataLoader(synthetic_dataset(0, 4, max_atoms=12), cfg, 4,
+                             shuffle=False)
+    params = pg.init_params(jax.random.PRNGKey(0), next(iter(loader)))
+    return GenerationPipeline(
+        pg, params,
+        guidance=[GuidanceOpt(type="atom_prox", min_d=1.0, max_d=3.0),
+                  GuidanceOpt(type="center_prox")],
+        batch_size=4, add_edge="predicted", seed=5)
+
+
+def test_generate_outputs(pipeline, tmp_path):
+    phore = parse_phore_text(PHORE_TEXT, name="pipe_phore")
+    out_dir = str(tmp_path / "gen")
+    os.makedirs(out_dir)
+    res = pipeline.generate(phore, num_samples=2, out_dir=out_dir)
+    lo, up = res["count_interval"]
+    assert 4 <= lo <= up <= 78
+    assert res["n_finished"] + res["n_failed"] > 0
+    # outputs written for whatever succeeded
+    if res["n_finished"]:
+        mol_dir = os.path.join(out_dir, "pipe_phore")
+        sdfs = [f for f in os.listdir(mol_dir) if f.endswith(".sdf")]
+        assert len(sdfs) == res["n_finished"]
+        with open(os.path.join(mol_dir, "pipe_phore_smiles.txt")) as f:
+            smiles = [l.strip() for l in f if l.strip()]
+        assert len(smiles) == res["n_finished"]
+        assert all("." not in s for s in smiles)
+    assert os.path.exists(os.path.join(out_dir, "time_chain.txt"))
+
+
+def test_fail_budget_abandons(pipeline):
+    """With an untrained model some failures are expected; the loop must
+    terminate within the 3x budget either way."""
+    phore = parse_phore_text(PHORE_TEXT, name="pipe_phore2")
+    res = pipeline.generate(phore, num_samples=2, fail_budget_factor=1)
+    assert res["n_failed"] <= 1 * 2 + pipeline.batch_size  # bounded

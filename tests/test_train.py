@@ -1,0 +1,164 @@
+"""Training-runtime tests: jitted step, adaptive clipping, EMA, plateau,
+checkpoint round-trip, and the full epoch loop on an 8-device CPU mesh."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phoregen_tpu.config import default_config
+from phoregen_tpu.data.loader import PhoreDataLoader
+from phoregen_tpu.data.synthetic import synthetic_dataset
+from phoregen_tpu.models.phoregen import PhoreGen
+from phoregen_tpu.parallel.mesh import make_mesh, replicate
+from phoregen_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from phoregen_tpu.train.loop import PlateauScheduler, Run
+from phoregen_tpu.train.state import (GradNormQueue, QUEUE_SEED,
+                                      create_train_state, get_learning_rate,
+                                      set_learning_rate)
+from phoregen_tpu.train.step import make_train_step
+
+
+def tiny_config(**train_overrides):
+    cfg = default_config("zinc_300")
+    m = cfg.model
+    m.hidden_dim = 16
+    m.denoiser.hidden_dim = 16
+    m.denoiser.num_layers = 1
+    m.denoiser.n_heads = 2
+    m.denoiser.knn = 4
+    m.denoiser.num_r_gaussian = 4
+    m.diff.num_timesteps = 8
+    m.diff.time_dim = 2
+    cfg.dataset.ligand_buckets = [16]
+    cfg.dataset.max_phore = 16
+    cfg.train.batch_size = 8
+    cfg.train.epochs = 2
+    for k, v in train_overrides.items():
+        setattr(cfg.train, k, v)
+    return cfg
+
+
+def test_gradnorm_queue_semantics():
+    q = GradNormQueue.create()
+    mean, std = q.stats()
+    assert float(mean) == pytest.approx(QUEUE_SEED)
+    assert float(std) == pytest.approx(0.0)
+    q = q.push(jnp.asarray(100.0))
+    mean, std = q.stats()
+    assert float(mean) == pytest.approx((QUEUE_SEED + 100.0) / 2)
+    # ring wrap: push 60 values, count saturates at 50
+    for i in range(60):
+        q = q.push(jnp.asarray(float(i)))
+    assert int(q.count) == 50
+
+
+def test_plateau_scheduler():
+    s = PlateauScheduler(factor=0.5, patience=1, min_lr=1e-6, lr=1.0)
+    assert s.step(1.0) == 1.0      # new best
+    assert s.step(2.0) == 1.0      # bad 1 (<= patience)
+    assert s.step(2.0) == 0.5      # bad 2 -> decay
+    assert s.step(0.5) == 0.5      # new best again
+    for _ in range(40):
+        s.step(9.9)
+    assert s.lr >= 1e-6
+
+
+def test_lr_get_set_roundtrip():
+    cfg = tiny_config()
+    key = jax.random.PRNGKey(0)
+    loader = PhoreDataLoader(synthetic_dataset(0, 8, max_atoms=12), cfg,
+                             cfg.train.batch_size, shuffle=False)
+    batch = next(iter(loader))
+    pg = PhoreGen(cfg)
+    params = pg.init_params(key, batch)
+    state = create_train_state(cfg.train, params)
+    assert get_learning_rate(state.opt_state) == pytest.approx(1e-4)
+    new = set_learning_rate(state.opt_state, 5e-5)
+    assert get_learning_rate(new) == pytest.approx(5e-5)
+
+
+def test_train_step_descends_on_mesh():
+    """2 jitted steps on the 8-device mesh: loss finite, params change,
+    grad queue advances, EMA tracks."""
+    cfg = tiny_config()
+    mesh = make_mesh(8, "data")
+    pg = PhoreGen(cfg)
+    loader = PhoreDataLoader(synthetic_dataset(1, 16, max_atoms=12), cfg,
+                             cfg.train.batch_size, shuffle=False)
+    batch = next(iter(loader))
+    key = jax.random.PRNGKey(0)
+    params = pg.init_params(key, batch)
+    state = replicate(create_train_state(cfg.train, params), mesh)
+    step = make_train_step(pg, cfg, mesh, donate=False)
+    state1, m1 = step(state, np.uint32(0), batch)
+    state2, m2 = step(state1, np.uint32(1), batch)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert int(state2.step) == 2
+    assert int(state2.grad_queue.count) == 3  # seed + 2 pushes
+    # params actually moved (some leaves, e.g. the QD count-head bias, can
+    # legitimately get ~zero grad early when its sigmoids saturate)
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(state2.params)))
+    assert moved
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config()
+    pg = PhoreGen(cfg)
+    loader = PhoreDataLoader(synthetic_dataset(2, 8, max_atoms=12), cfg,
+                             cfg.train.batch_size, shuffle=False)
+    batch = next(iter(loader))
+    key = jax.random.PRNGKey(0)
+    params = pg.init_params(key, batch)
+    state = create_train_state(cfg.train, params)
+    state = state.replace(opt_state=set_learning_rate(state.opt_state, 3e-5))
+    prefix = str(tmp_path / "last_model")
+    save_checkpoint(prefix, state, epoch=7, config_dict=cfg.to_dict(),
+                    extra={"scheduler": {"lr": 3e-5}})
+    fresh = create_train_state(cfg.train, params)
+    restored, meta = load_checkpoint(prefix, fresh)
+    assert meta["epoch"] == 7
+    assert get_learning_rate(restored.opt_state) == pytest.approx(3e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_run_epoch_loop_end_to_end(tmp_path):
+    """Full Run.train: 2 epochs on synthetic data, history + checkpoints
+    written, resume picks up at epoch 2."""
+    cfg = tiny_config()
+    cfg.logger.result = str(tmp_path)
+    cfg.logger.run_name = "t"
+    cfg.logger.tensorboard = False
+    cfg.train.num_devices = 8
+    run = Run(cfg)
+    train = synthetic_dataset(3, 16, max_atoms=12)
+    valid = synthetic_dataset(4, 8, max_atoms=12)
+    hist = run.train(train, valid, epochs=2)
+    assert len(hist["train"]) == 2 and len(hist["valid"]) == 2
+    assert np.isfinite(hist["valid"][-1]["loss"])
+    run_dir = os.path.join(str(tmp_path), "t")
+    assert os.path.exists(os.path.join(run_dir, "last_model.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, "best_model.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, "history.log"))
+    with open(os.path.join(run_dir, "history.log")) as f:
+        h = json.load(f)
+    assert h["epoch"] == 1
+
+    # resume: inplace restart continues from epoch 2
+    cfg2 = tiny_config()
+    cfg2.logger.result = str(tmp_path)
+    cfg2.logger.run_name = "t"
+    cfg2.logger.restart = "inplace"
+    cfg2.logger.tensorboard = False
+    cfg2.train.num_devices = 8
+    run2 = Run(cfg2)
+    assert run2.logger.start_epoch == 2
+    hist2 = run2.train(train, valid, epochs=3)
+    assert len(hist2["train"]) == 3
