@@ -11,6 +11,7 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -27,9 +28,11 @@ def main():
     from phoregen_tpu.sample.sampler import Sampler
 
     cfg = default_config("zinc_300")
-    cfg.dataset.ligand_buckets = [48]
+    # ZINC-scale molecules (<=30 heavy atoms) fit the 32-atom bucket; the
+    # dense-grid tensors scale with NL^2/NL^3 so the tight bucket matters.
+    cfg.dataset.ligand_buckets = [32]
     cfg.dataset.max_phore = 32
-    batch_size = 128
+    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
 
     pg = PhoreGen(cfg)
     samples = synthetic_dataset(0, batch_size, max_atoms=30)
@@ -46,7 +49,7 @@ def main():
     out = run(params, key, batch)
     jax.block_until_ready(out)
 
-    n_iters = 3
+    n_iters = int(os.environ.get("BENCH_ITERS", "2"))
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = run(params, jax.random.PRNGKey(i + 1), batch)

@@ -98,6 +98,11 @@ class DenoiserConfig:
     # TPU-specific: use the Pallas triplet-attention kernel for the bond layer
     # instead of the pure-XLA dense form.
     use_pallas_triplet: bool = False
+    # TPU-specific triplet-layer mode: 'factorized' (width-Wt per-triplet
+    # features, the fast default) or 'dense' (full hidden-width per-triplet
+    # MLPs, the exact-width reference analogue). See BondUpdateTriplet.
+    triplet_mode: str = "factorized"
+    triplet_width: int = 32
 
 
 @dataclass

@@ -57,6 +57,8 @@ class UniDenoiser(nn.Module):
     h_node_in_bond_net: bool = True
     direction_match: bool = True
     use_global_ew: bool = True
+    triplet_mode: str = "factorized"
+    triplet_width: int = 32
 
     @nn.compact
     def __call__(self, h, x, h_bond, node_mask, phore_norm=None,
@@ -92,6 +94,8 @@ class UniDenoiser(nn.Module):
                             x2h_out_fc=self.x2h_out_fc,
                             include_h_node=self.h_node_in_bond_net,
                             direction_match=self.direction_match,
+                            triplet_mode=self.triplet_mode,
+                            triplet_width=self.triplet_width,
                             name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
@@ -137,6 +141,8 @@ class _AttentionLayer(nn.Module):
     x2h_out_fc: bool
     include_h_node: bool
     direction_match: bool
+    triplet_mode: str = "factorized"
+    triplet_width: int = 32
 
     @nn.compact
     def __call__(self, h, x, edge_type, nbr_idx, nbr_mask, h_bond,
@@ -189,6 +195,7 @@ class _AttentionLayer(nn.Module):
         new_h_bond = h_bond + BondUpdateTriplet(
             hidden_dim=self.hidden_dim, n_heads=self.n_heads, norm=self.norm,
             act_fn=self.act_fn, include_h_node=self.include_h_node,
+            mode=self.triplet_mode, width=self.triplet_width,
             name="bond_layer")(h_lig, h_bond, x[:, NP:], mask_l)
 
         new_h = h + nn.Dense(self.hidden_dim, name="lin_node")(

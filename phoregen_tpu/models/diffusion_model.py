@@ -56,7 +56,9 @@ class PhoreDiffNet(nn.Module):
             x2h_out_fc=d.x2h_out_fc,
             h_node_in_bond_net=d.h_node_in_bond_net,
             direction_match=d.direction_match,
-            use_global_ew=d.use_global_ew)
+            use_global_ew=d.use_global_ew,
+            triplet_mode=d.triplet_mode,
+            triplet_width=d.triplet_width)
         self.v_inference_0 = nn.Dense(H)
         self.v_inference_2 = nn.Dense(cfg.num_atom_classes)
         self.atom_mlp_0 = nn.Dense(2 * H)

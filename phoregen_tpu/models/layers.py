@@ -254,6 +254,19 @@ class BondUpdateTriplet(nn.Module):
     only the angular contribution touches the O(NL^3) grid before the
     nonlinearity, cutting the dominant matmul cost by ~30x versus naive
     concatenation.
+
+    Modes (TPU-first divergence, config `denoiser.triplet_mode`):
+    - 'dense': per-triplet features at full hidden width H — exact-width
+      analogue of the reference MLPs. O(NL^3 * H) memory traffic; the
+      correctness reference.
+    - 'factorized' (default): per-triplet nonlinear features at width
+      `triplet_width` (Wt << H); attention logits are a bilinear form
+      q_ji^T pre_kji per head, and the value path pools `pre` directly
+      (out = Dense(sum_k alpha * pre)). Same structure — nonlinear
+      angular+distance+bond triplet features, attention over k grouped by
+      target bond (j,i), query from [h_bond_ji, h_i] — at ~H/Wt x less
+      HBM traffic and FLOPs, which is what makes 1000-step sampling
+      viable on TPU (SURVEY.md §7.4 risk item).
     """
     hidden_dim: int
     n_heads: int
@@ -261,6 +274,8 @@ class BondUpdateTriplet(nn.Module):
     act_fn: str = "relu"
     include_h_node: bool = True
     num_ang_funcs: int = 3
+    mode: str = "factorized"
+    width: int = 32
 
     @nn.compact
     def __call__(self, h, h_bond, pos, node_mask):
@@ -288,9 +303,23 @@ class BondUpdateTriplet(nn.Module):
         a_feat = angular_encoding(angle, freq_bands)           # [B,j,k,i,13]
         ang_dim = a_feat.shape[-1]
 
-        # ---- factorized first linear layer of the k/v MLPs ----
-        # full kv_input order: [h_bond_kj, r_kj, r_ji, a_feat, (h_k, h_j)]
-        # (k,j)-indexed block: h_bond[k,j] + r_feat[k,j] (+ h_k, h_j)
+        # triplet mask: k,j,i valid; k!=j; j!=i; k!=i
+        # (reference `uni_denoiser.py:115`)
+        m = node_mask
+        valid3 = (m[:, :, None, None] & m[:, None, :, None]
+                  & m[:, None, None, :])
+        idx = jnp.arange(N)
+        neq_kj = idx[:, None, None] != idx[None, :, None]
+        neq_ji = idx[None, :, None] != idx[None, None, :]
+        neq_ki = idx[:, None, None] != idx[None, None, :]
+        tri_mask = valid3 & (neq_kj & neq_ji & neq_ki)[None]   # [B,k,j,i]
+
+        if self.mode == "factorized":
+            return self._factorized(h, h_bond, r_feat, a_feat, tri_mask, act)
+
+        # ---- dense (exact-width) path ----
+        # factorized first linear layer of the k/v MLPs; full kv_input order:
+        # [h_bond_kj, r_kj, r_ji, a_feat, (h_k, h_j)]
         hk_exp = jnp.broadcast_to(h[:, :, None, :], (B, N, N, H))  # h[src=k]
         hj_exp = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))  # h[dst=j]
         if self.include_h_node:
@@ -336,16 +365,47 @@ class BondUpdateTriplet(nn.Module):
         q = q.reshape(B, 1, N, N, self.n_heads, d_head)
         scores = jnp.sum(q * k_t, axis=-1) / np.sqrt(d_head)  # [B,k,j,i,heads]
 
-        # triplet mask: k,j,i valid; k!=j (bond k->j exists); j!=i (target
-        # bond exists); k!=i (reference `uni_denoiser.py:115`)
-        m = node_mask
-        valid = (m[:, :, None, None] & m[:, None, :, None] & m[:, None, None, :])
-        idx = jnp.arange(N)
-        neq_kj = idx[:, None, None] != idx[None, :, None]
-        neq_ji = idx[None, :, None] != idx[None, None, :]
-        neq_ki = idx[:, None, None] != idx[None, None, :]
-        tri_mask = valid & (neq_kj & neq_ji & neq_ki)[None]
-
         alpha = masked_softmax(scores, tri_mask[..., None], axis=1)  # over k
         out = jnp.sum(alpha[..., None] * v_t, axis=1)  # [B,j,i,heads,dh]
         return out.reshape(B, N, N, self.hidden_dim)
+
+    def _factorized(self, h, h_bond, r_feat, a_feat, tri_mask, act):
+        """Width-Wt triplet attention: pre_kji = act(LN(a_kj + a_ji + a_ang)),
+        logits_kji,h = q_ji,h . pre_kji / sqrt(Wt), out_ji = Dense over the
+        per-head alpha-pooled pre features. Only `pre` and `alpha` ever live
+        on the O(NL^3) grid, both at small width."""
+        B, N, H = h.shape
+        Wt = self.width
+        heads = self.n_heads
+
+        hk_exp = jnp.broadcast_to(h[:, :, None, :], (B, N, N, H))  # h[src=k]
+        hj_exp = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))  # h[dst=j]
+        if self.include_h_node:
+            f_kj = jnp.concatenate([h_bond, r_feat, hk_exp, hj_exp], axis=-1)
+        else:
+            f_kj = jnp.concatenate([h_bond, r_feat], axis=-1)
+
+        a_kj = nn.Dense(Wt, name="tf_kj")(f_kj)                # [B,k,j,Wt]
+        a_ji = nn.Dense(Wt, use_bias=False, name="tf_ji")(r_feat)
+        a_ang = nn.Dense(Wt, use_bias=False, name="tf_ang")(a_feat)
+        pre = (a_kj[:, :, :, None, :] + a_ji[:, None, :, :, :]
+               + a_ang.transpose(0, 2, 1, 3, 4))               # [B,k,j,i,Wt]
+        if self.norm:
+            pre = nn.LayerNorm(name="tf_ln")(pre)
+        pre = act(pre)
+
+        if self.include_h_node:
+            hi_exp = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))
+            q_input = jnp.concatenate([h_bond, hi_exp], axis=-1)
+        else:
+            q_input = h_bond
+        q = MLP(heads * Wt, self.hidden_dim, norm=self.norm,
+                act_fn=self.act_fn, name="tf_q")(q_input)      # [B,j,i,h*Wt]
+        q = q.reshape(B, N, N, heads, Wt)
+
+        scores = jnp.einsum("bkjiw,bjihw->bkjih", pre, q) / np.sqrt(Wt)
+        alpha = masked_softmax(scores, tri_mask[..., None], axis=1)  # over k
+        pooled = jnp.einsum("bkjih,bkjiw->bjihw", alpha, pre)
+        out = nn.Dense(self.hidden_dim, name="tf_out")(
+            pooled.reshape(B, N, N, heads * Wt))
+        return out

@@ -1,0 +1,164 @@
+"""Model-level golden-property tests on tiny fixed graphs (SURVEY.md §4):
+translation/rotation equivariance of the position head, padding invariance,
+and both triplet-layer modes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phoregen_tpu.data.batching import PhoreGraphBatch
+from phoregen_tpu.models.phoregen import PhoreGen
+from tests.test_train import tiny_config
+
+
+def make_batch(rng, B=2, NL=8, NP=6, n_lig=6, n_phore=4, fp=18):
+    lig_type = rng.integers(0, 11, (B, NL)).astype(np.int32)
+    lig_pos = rng.normal(size=(B, NL, 3)).astype(np.float32) * 2
+    lig_mask = np.zeros((B, NL), bool)
+    lig_mask[:, :n_lig] = True
+    lig_type[~lig_mask] = 0
+    lig_pos[~lig_mask] = 0
+    bond = rng.integers(0, 5, (B, NL, NL)).astype(np.int32)
+    eye = np.eye(NL, dtype=bool)
+    bond[:, eye] = 0
+    pm = lig_mask[:, :, None] & lig_mask[:, None, :]
+    bond[~pm] = 0
+    phore_x = rng.normal(size=(B, NP, fp)).astype(np.float32)
+    phore_pos = rng.normal(size=(B, NP, 3)).astype(np.float32) * 2
+    phore_norm = rng.normal(size=(B, NP, 3)).astype(np.float32)
+    phore_norm /= np.linalg.norm(phore_norm, axis=-1, keepdims=True)
+    phore_mask = np.zeros((B, NP), bool)
+    phore_mask[:, :n_phore] = True
+    phore_x[~phore_mask] = 0
+    phore_pos[~phore_mask] = 0
+    phore_norm[~phore_mask] = 0
+    return PhoreGraphBatch(
+        lig_type=lig_type, lig_pos=lig_pos, lig_mask=lig_mask,
+        bond_type=bond, phore_x=phore_x, phore_pos=phore_pos,
+        phore_norm=phore_norm, phore_mask=phore_mask,
+        center=np.zeros((B, 3), np.float32))
+
+
+def forward(pg, params, batch, t_val=3):
+    mcfg = pg.config.model
+    B = batch.num_graphs
+    h_node = jax.nn.one_hot(batch.lig_type, mcfg.num_atom_classes)
+    h_edge = jax.nn.one_hot(batch.bond_type, mcfg.num_bond_classes)
+    t = jnp.full((B,), t_val, jnp.int32)
+    return pg.net.apply(params, h_node, batch.lig_pos, batch.lig_mask,
+                        h_edge, t, batch.phore_x, batch.phore_pos,
+                        batch.phore_norm, batch.phore_mask)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    pg = PhoreGen(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng)
+    params = pg.init_params(jax.random.PRNGKey(0), batch)
+    fwd = jax.jit(lambda p, b: forward(pg, p, b))
+    return pg, params, batch, fwd, rng
+
+
+def test_translation_equivariance(setup):
+    """Shifting phore+ligand positions by v shifts pred_pos by exactly v and
+    leaves type/bond/count predictions unchanged (the network only consumes
+    relative geometry)."""
+    pg, params, batch, fwd, rng = setup
+    node0, pos0, edge0, cnt0 = fwd(params, batch)
+    v = np.asarray([1.5, -2.0, 0.5], np.float32)
+    shifted = PhoreGraphBatch(
+        lig_type=batch.lig_type,
+        lig_pos=batch.lig_pos + v * np.asarray(batch.lig_mask)[..., None],
+        lig_mask=batch.lig_mask, bond_type=batch.bond_type,
+        phore_x=batch.phore_x,
+        phore_pos=batch.phore_pos + v * np.asarray(
+            batch.phore_mask)[..., None],
+        phore_norm=batch.phore_norm, phore_mask=batch.phore_mask,
+        center=batch.center)
+    node1, pos1, edge1, cnt1 = fwd(params, shifted)
+    lm = np.asarray(batch.lig_mask)[..., None]
+    np.testing.assert_allclose(np.asarray(pos1) * lm,
+                               (np.asarray(pos0) + v) * lm,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(node1), np.asarray(node0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(edge1), np.asarray(edge0),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_rotation_equivariance(setup):
+    """Rotating positions AND norm vectors rotates pred_pos; invariant heads
+    unchanged (within float tolerance)."""
+    pg, params, batch, fwd, rng = setup
+    node0, pos0, edge0, _ = fwd(params, batch)
+    theta = 0.7
+    R = np.asarray([[np.cos(theta), -np.sin(theta), 0],
+                    [np.sin(theta), np.cos(theta), 0],
+                    [0, 0, 1]], np.float32)
+    rot = PhoreGraphBatch(
+        lig_type=batch.lig_type,
+        lig_pos=np.asarray(batch.lig_pos) @ R.T,
+        lig_mask=batch.lig_mask, bond_type=batch.bond_type,
+        phore_x=batch.phore_x,
+        phore_pos=np.asarray(batch.phore_pos) @ R.T,
+        phore_norm=np.asarray(batch.phore_norm) @ R.T,
+        phore_mask=batch.phore_mask, center=batch.center)
+    node1, pos1, edge1, _ = fwd(params, rot)
+    lm = np.asarray(batch.lig_mask)[..., None]
+    np.testing.assert_allclose(np.asarray(pos1) * lm,
+                               (np.asarray(pos0) @ R.T) * lm,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(node1), np.asarray(node0),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_padding_invariance(setup):
+    """Growing the padded slots (NL 8->12, NP 6->9) must not change any
+    prediction on the real slots."""
+    pg, params, batch, fwd, rng = setup
+    node0, pos0, edge0, cnt0 = fwd(params, batch)
+
+    def grow(arr, axis, size):
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (0, size - arr.shape[axis])
+        return np.pad(np.asarray(arr), pad)
+
+    big = PhoreGraphBatch(
+        lig_type=grow(batch.lig_type, 1, 12),
+        lig_pos=grow(batch.lig_pos, 1, 12),
+        lig_mask=grow(batch.lig_mask, 1, 12),
+        bond_type=grow(grow(batch.bond_type, 1, 12), 2, 12),
+        phore_x=grow(batch.phore_x, 1, 9),
+        phore_pos=grow(batch.phore_pos, 1, 9),
+        phore_norm=grow(batch.phore_norm, 1, 9),
+        phore_mask=grow(batch.phore_mask, 1, 9),
+        center=batch.center)
+    node1, pos1, edge1, cnt1 = fwd(params, big)
+    np.testing.assert_allclose(np.asarray(node1)[:, :8], np.asarray(node0),
+                               rtol=2e-4, atol=2e-4)
+    lm = np.asarray(batch.lig_mask)[..., None]
+    np.testing.assert_allclose(np.asarray(pos1)[:, :8] * lm,
+                               np.asarray(pos0) * lm, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(edge1)[:, :8, :8],
+                               np.asarray(edge0), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cnt1[0]), np.asarray(cnt0[0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_triplet_dense_mode_runs():
+    """The exact-width 'dense' triplet mode compiles and produces finite
+    outputs of the same shapes as 'factorized'."""
+    cfg = tiny_config()
+    cfg.model.denoiser.triplet_mode = "dense"
+    pg = PhoreGen(cfg)
+    rng = np.random.default_rng(1)
+    batch = make_batch(rng)
+    params = pg.init_params(jax.random.PRNGKey(0), batch)
+    node, pos, edge, cnt = jax.jit(
+        lambda p, b: forward(pg, p, b))(params, batch)
+    assert np.isfinite(np.asarray(node)).all()
+    assert np.isfinite(np.asarray(pos)).all()
+    assert np.isfinite(np.asarray(edge)).all()
+    assert node.shape == (2, 8, 12) and edge.shape == (2, 8, 8, 6)
