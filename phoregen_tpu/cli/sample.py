@@ -36,6 +36,8 @@ def parse_args(argv=None):
                    help='JSON, e.g. \'[{"type":"atom_prox","min_d":1.0,'
                         '"max_d":3.0},{"type":"center_prox"}]\'')
     p.add_argument("--save_traj", action="store_true")
+    p.add_argument("--save_pool", action="store_true",
+                   help="dump raw sampled pools as <name>_samples_all.npz")
     p.add_argument("--seed", type=int, default=2024)
     p.add_argument("--use_ema", action="store_true",
                    help="sample with the EMA shadow params")
@@ -112,8 +114,10 @@ def main(argv=None):
     os.makedirs(args.result_path, exist_ok=True)
     n_ok = n_fail = 0
     for path in resolve_phore_paths(args.phore):
-        res = pipeline.generate_from_file(path, args.num_samples,
-                                          out_dir=args.result_path)
+        from ..data.phore import parse_phore_file
+        res = pipeline.generate(parse_phore_file(path), args.num_samples,
+                                out_dir=args.result_path,
+                                save_pool=args.save_pool)
         n_ok += res["n_finished"]
         n_fail += res["n_failed"]
         print(f"[I] {res['name']}: {res['n_finished']}/{args.num_samples} "

@@ -71,6 +71,19 @@ def _texp(t: jnp.ndarray, ndim: int) -> jnp.ndarray:
     return t.reshape(t.shape + (1,) * (ndim - 1))
 
 
+def _mix(p: jnp.ndarray, mats: jnp.ndarray) -> jnp.ndarray:
+    """out[b, ..., k] = sum_j p[b, ..., j] * mats[b, j, k].
+
+    Deliberately NOT an einsum/dot_general: the contraction is over a tiny
+    class axis (K=6 or 12) batched over the whole [B, N(, N)] grid, and on
+    TPU XLA lowers that as thousands of MXU-padded 6x6 matmuls (~13 ms per
+    reverse-diffusion step measured at B=8). The broadcast-multiply-reduce
+    form stays on the VPU and is ~100x faster here.
+    """
+    M = mats.reshape(mats.shape[:1] + (1,) * (p.ndim - 2) + mats.shape[1:])
+    return jnp.sum(p[..., :, None] * M, axis=-2)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class CategoricalTransition:
@@ -105,7 +118,7 @@ class CategoricalTransition:
     def q_vt_pred(self, log_v0: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         """log q(v_t | v_0). log_v0: [B, ..., K], t: [B]."""
         qt = self.q_mats[t]  # [B, K, K]
-        q_vt = jnp.einsum("b...j,bjk->b...k", jnp.exp(log_v0), qt)
+        q_vt = _mix(jnp.exp(log_v0), qt)
         return clamped_log(q_vt)
 
     def q_vt_sample(self, key: jax.Array, log_v0: jnp.ndarray, t: jnp.ndarray):
@@ -129,14 +142,14 @@ class CategoricalTransition:
         """log q(v_{t-1} | v_t, v_0); t==0 entries return log_v0 directly."""
         t_minus_1 = jnp.maximum(t - 1, 0)
         fact1_mat = self.transpose_q_onestep[t]  # [B, K, K]
-        fact1 = jnp.einsum("b...j,bjk->b...k", jnp.exp(log_vt), fact1_mat)
+        fact1 = _mix(jnp.exp(log_vt), fact1_mat)
         fact2_mat = self.q_mats[t_minus_1]
         if v0_prob:
-            fact2 = jnp.einsum("b...j,bjk->b...k", jnp.exp(log_v0), fact2_mat)
+            fact2 = _mix(jnp.exp(log_v0), fact2_mat)
         else:
             v0_onehot = jax.nn.one_hot(jnp.argmax(log_v0, axis=-1),
                                        self.num_classes, dtype=jnp.float32)
-            fact2 = jnp.einsum("b...j,bjk->b...k", v0_onehot, fact2_mat)
+            fact2 = _mix(v0_onehot, fact2_mat)
         out = clamped_log(fact1) + clamped_log(fact2)
         out = out - jax.nn.logsumexp(out, axis=-1, keepdims=True)
         time_zero = _texp(t == 0, out.ndim)

@@ -185,12 +185,17 @@ class PhoreGen:
         norm_count = (true_count - MIN_ATOMS) / (MAX_ATOMS - MIN_ATOMS)
         loss_count = qd_loss(norm_count[:, None], *pred_count, s=160.0,
                              nd=15.0, factor=mcfg.count_factor)
+        # interval hit rate (reference `compute_true_count`,
+        # `models/model_utils.py:468-499`)
+        count_hit = jnp.mean(((norm_count[:, None] >= pred_count[0]) &
+                              (norm_count[:, None] <= pred_count[1])
+                              ).astype(jnp.float32))
 
         loss_total = (loss_pos + loss_node + loss_edge + loss_count + loss_len)
 
         loss_dict.update(
             loss=loss_total, loss_pos=loss_pos, loss_node=loss_node,
-            loss_count=loss_count,
+            loss_count=loss_count, count_hit=count_hit,
             node_acc=exact_match_accuracy(batch.lig_type, pred_node, lmask))
         if mcfg.bond_diffusion:
             loss_dict["loss_edge"] = loss_edge

@@ -114,17 +114,22 @@ class GenerationPipeline:
     # ----- full per-phore loop -----
     def generate(self, phore: Phore, num_samples: int,
                  out_dir: Optional[str] = None,
-                 fail_budget_factor: int = 3) -> Dict:
+                 fail_budget_factor: int = 3,
+                 save_pool: bool = False) -> Dict:
         t0 = time.time()
         name = phore.name or "phore"
         phore_sample = self.prepare_phore(phore)
         lower, upper = self._count_interval(phore_sample)
-        mols, smiles_list = [], []
+        mols, smiles_list, pool = [], [], []
         n_failed = 0
         budget = fail_budget_factor * num_samples
         while len(mols) < num_samples and n_failed < budget:
             n = min(self.batch_size, num_samples - len(mols))
-            decoded, _ = self.sample_pool(phore_sample, n, lower, upper)
+            decoded, raw = self.sample_pool(phore_sample, n, lower, upper)
+            if save_pool:
+                pool.append({k: np.asarray(v) for k, v in raw.items()
+                             if k in ("pred_node", "pred_pos", "pred_edge",
+                                      "lig_mask")})
             for info in decoded:
                 try:
                     mol, smi = self.reconstruct(info)
@@ -133,6 +138,7 @@ class GenerationPipeline:
                     continue
                 mols.append(mol)
                 smiles_list.append(smi)
+                info["accepted"] = True
         elapsed = time.time() - t0
 
         if out_dir:
@@ -145,6 +151,13 @@ class GenerationPipeline:
                          os.path.join(mol_dir, f"{name}_smiles.txt"))
             append_timing(os.path.join(out_dir, "time_chain.txt"),
                           name, len(mols), elapsed)
+            if save_pool and pool:
+                # pool dump (reference `*_samples_all.pt`,
+                # `sample_all.py:154-167`) as npz
+                np.savez_compressed(
+                    os.path.join(mol_dir, f"{name}_samples_all.npz"),
+                    **{f"{k}_{i}": v for i, d in enumerate(pool)
+                       for k, v in d.items() if v is not None})
         return {
             "name": name, "mols": mols, "smiles": smiles_list,
             "n_finished": len(mols), "n_failed": n_failed,
