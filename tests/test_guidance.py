@@ -1,0 +1,65 @@
+"""Unit tests for the validity-guidance energies and count sampling
+(reference `utils/sample_utils.py:28-37,135-165`)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phoregen_tpu.sample.sampler import (Sampler, atom_prox_energy,
+                                         center_prox_energy)
+
+
+def test_atom_prox_energy_hinge():
+    # two atoms bonded at distance 5 (> max_d 3) -> hinge = 2 per bond
+    pos = jnp.asarray([[[0., 0., 0.], [5., 0., 0.], [0., 0., 0.]]])
+    lig_mask = jnp.asarray([[True, True, False]])
+    bond_mask = (lig_mask[:, :, None] & lig_mask[:, None, :]
+                 & ~jnp.eye(3, dtype=bool))
+    h_edge = jax.nn.one_hot(
+        jnp.asarray([[[0, 1, 0], [1, 0, 0], [0, 0, 0]]]), 6)
+    e = atom_prox_energy(pos, h_edge, bond_mask, lig_mask, 1.0, 3.0)
+    assert float(e) == pytest.approx(2.0, abs=1e-5)
+
+    # distance inside [min_d, max_d] -> zero energy
+    pos2 = jnp.asarray([[[0., 0., 0.], [2., 0., 0.], [0., 0., 0.]]])
+    e2 = atom_prox_energy(pos2, h_edge, bond_mask, lig_mask, 1.0, 3.0)
+    assert float(e2) == pytest.approx(0.0, abs=1e-6)
+
+    # too close (0.5 < min_d 1.0) -> hinge 0.5
+    pos3 = jnp.asarray([[[0., 0., 0.], [0.5, 0., 0.], [0., 0., 0.]]])
+    e3 = atom_prox_energy(pos3, h_edge, bond_mask, lig_mask, 1.0, 3.0)
+    assert float(e3) == pytest.approx(0.5, abs=1e-5)
+
+
+def test_center_prox_energy():
+    pos = jnp.asarray([[[1., 0., 0.], [3., 0., 0.]]])   # centroid (2,0,0)
+    lig_mask = jnp.ones((1, 2), bool)
+    phore_center = jnp.asarray([[2., 4., 0.]])
+    e = center_prox_energy(pos, lig_mask, phore_center)
+    assert float(e) == pytest.approx(4.0, abs=1e-5)
+
+
+def test_guidance_gradient_direction():
+    """d(atom_prox)/d(pos) pulls an overstretched bond together."""
+    lig_mask = jnp.asarray([[True, True]])
+    bond_mask = (lig_mask[:, :, None] & lig_mask[:, None, :]
+                 & ~jnp.eye(2, dtype=bool))
+    h_edge = jax.nn.one_hot(jnp.asarray([[[0, 1], [1, 0]]]), 6)
+
+    def energy(pos):
+        return atom_prox_energy(pos, h_edge, bond_mask, lig_mask, 1.0, 3.0)
+
+    pos = jnp.asarray([[[0., 0., 0.], [5., 0., 0.]]])
+    g = jax.grad(energy)(pos)
+    # subtracting the gradient moves atom 1 toward atom 0 and vice versa
+    assert float(g[0, 1, 0]) > 0 and float(g[0, 0, 0]) < 0
+
+
+def test_sample_counts_bounds():
+    key = jax.random.PRNGKey(0)
+    cu = Sampler.sample_counts(key, 10, 20, 64, mode="uniform")
+    assert cu.min() >= 10 and cu.max() <= 20
+    cn = Sampler.sample_counts(key, 10, 20, 64, mode="normal", scale=6.0)
+    assert cn.min() >= 10 and cn.max() <= 20
+    with pytest.raises(NotImplementedError):
+        Sampler.sample_counts(key, 10, 20, 4, mode="bogus")
