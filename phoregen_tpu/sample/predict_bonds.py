@@ -74,7 +74,15 @@ def get_bond_order(sym1: str, sym2: str, distance_angstrom: float,
 
 def predict_bonds(elements: List[int], pos: np.ndarray
                   ) -> Tuple[List[List[int]], List[int]]:
-    """All-pairs distance lookup -> directed bond lists (both directions)."""
+    """All-pairs distance lookup -> directed bond lists (both directions).
+
+    Uses the native C kernel (`phoregen_tpu/native`) when available; the
+    Python loop below is the behavioral reference and fallback.
+    """
+    from ..native import predict_bonds_native
+    native = predict_bonds_native(elements, pos)
+    if native is not None:
+        return native
     bond_index: List[List[int]] = [[], []]
     bond_type: List[int] = []
     n = len(elements)

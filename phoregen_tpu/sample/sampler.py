@@ -72,10 +72,15 @@ class Sampler:
 
     def __init__(self, pg: PhoreGen,
                  guidance: Optional[Sequence[GuidanceOpt]] = None,
-                 keep_traj: bool = False):
+                 keep_traj: bool = False, unroll: int = 25):
         self.pg = pg
         self.guidance = tuple(guidance) if guidance else ()
         self.keep_traj = keep_traj
+        # Unrolling amortizes the per-loop-iteration runtime overhead
+        # (~13 ms/iteration measured through the tunneled TPU runtime,
+        # regardless of body size) across `unroll` fused steps; the body
+        # compute itself is ~20 us/step, so rolled scans are overhead-bound.
+        self.unroll = unroll
 
     # ----- atom count interval -----
     def predict_count_interval(self, params, batch: PhoreGraphBatch
@@ -199,7 +204,8 @@ class Sampler:
                   jnp.zeros((B, NL, NL, mcfg.num_bond_classes)))
         carry0 = (k_scan, pos_init, h_node_init, log_node_init,
                   h_edge_init, log_edge_init, preds0)
-        carry, ys = jax.lax.scan(step, carry0, jnp.arange(T))
+        carry, ys = jax.lax.scan(step, carry0, jnp.arange(T),
+                                 unroll=min(self.unroll, T))
         preds = carry[6]
         pred_node = preds[0]
         pred_pos = preds[1] + batch.center[:, None, :]
