@@ -14,6 +14,12 @@ import json
 import os
 import time
 
+# persistent compile cache: the reverse-scan executable is large (unrolled
+# body) and remote compiles are slow; cache across bench invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import jax
 import numpy as np
 

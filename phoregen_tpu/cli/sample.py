@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--save_traj", action="store_true")
     p.add_argument("--save_pool", action="store_true",
                    help="dump raw sampled pools as <name>_samples_all.npz")
+    p.add_argument("--unroll", type=int, default=8,
+                   help="reverse-scan unroll factor (amortizes per-iteration "
+                        "runtime overhead; higher = slower compile)")
     p.add_argument("--seed", type=int, default=2024)
     p.add_argument("--use_ema", action="store_true",
                    help="sample with the EMA shadow params")
@@ -109,7 +112,7 @@ def main(argv=None):
         sample_nodes_mode=args.sample_nodes_mode,
         normal_scale=args.normal_scale, add_edge=args.add_edge,
         batch_size=args.batch_size, keep_traj=args.save_traj,
-        seed=args.seed)
+        seed=args.seed, unroll=args.unroll)
 
     os.makedirs(args.result_path, exist_ok=True)
     n_ok = n_fail = 0

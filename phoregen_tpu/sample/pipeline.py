@@ -36,11 +36,13 @@ class GenerationPipeline:
                  guidance: Optional[Sequence[GuidanceOpt]] = None,
                  sample_nodes_mode: str = "uniform", normal_scale: float = 4.0,
                  add_edge: str = "predicted", batch_size: int = 30,
-                 keep_traj: bool = False, seed: int = 2024):
+                 keep_traj: bool = False, seed: int = 2024,
+                 unroll: int = 8):
         self.pg = pg
         self.params = params
         self.cfg = pg.config
-        self.sampler = Sampler(pg, guidance=guidance, keep_traj=keep_traj)
+        self.sampler = Sampler(pg, guidance=guidance, keep_traj=keep_traj,
+                               unroll=unroll)
         self.sample_nodes_mode = sample_nodes_mode
         self.normal_scale = normal_scale
         self.add_edge = add_edge
@@ -111,16 +113,39 @@ class GenerationPipeline:
             raise MolReconsError("disconnected molecule")
         return mol, smiles
 
+    def _write_traj(self, raw: Dict, graph_idx: int, path: str,
+                    stride: int = 10) -> None:
+        """Decode every `stride`-th sampled state of one graph into an SDF
+        trajectory (reference `sample_all.py` --save_traj output)."""
+        traj = raw.get("traj")
+        if traj is None:
+            return
+        node = np.asarray(traj["node"])[:, graph_idx]   # [T+1, NL, Ka]
+        pos = np.asarray(traj["pos"])[:, graph_idx]
+        edge = np.asarray(traj["edge"])[:, graph_idx]
+        mask = np.asarray(raw["lig_mask"])[graph_idx]
+        from .chem import SimpleMol
+        from .writers import append_sdf
+        with open(path, "w") as f:
+            for step in range(0, len(node), stride):
+                frames = decode_batch(node[step][None], pos[step][None],
+                                      edge[step][None], mask[None],
+                                      include_bond=True)
+                fr = frames[0]
+                mol = SimpleMol(fr["element"], fr["atom_pos"],
+                                fr["bond_index"], fr["bond_type"])
+                append_sdf(mol, f, name=f"step_{step}")
+
     # ----- full per-phore loop -----
     def generate(self, phore: Phore, num_samples: int,
                  out_dir: Optional[str] = None,
                  fail_budget_factor: int = 3,
-                 save_pool: bool = False) -> Dict:
+                 save_pool: bool = False, traj_stride: int = 10) -> Dict:
         t0 = time.time()
         name = phore.name or "phore"
         phore_sample = self.prepare_phore(phore)
         lower, upper = self._count_interval(phore_sample)
-        mols, smiles_list, pool = [], [], []
+        mols, smiles_list, pool, trajs = [], [], [], []
         n_failed = 0
         budget = fail_budget_factor * num_samples
         while len(mols) < num_samples and n_failed < budget:
@@ -130,7 +155,7 @@ class GenerationPipeline:
                 pool.append({k: np.asarray(v) for k, v in raw.items()
                              if k in ("pred_node", "pred_pos", "pred_edge",
                                       "lig_mask")})
-            for info in decoded:
+            for gi, info in enumerate(decoded):
                 try:
                     mol, smi = self.reconstruct(info)
                 except MolReconsError:
@@ -139,6 +164,8 @@ class GenerationPipeline:
                 mols.append(mol)
                 smiles_list.append(smi)
                 info["accepted"] = True
+                if self.keep_traj:
+                    trajs.append((raw, gi))
         elapsed = time.time() - t0
 
         if out_dir:
@@ -158,6 +185,11 @@ class GenerationPipeline:
                     os.path.join(mol_dir, f"{name}_samples_all.npz"),
                     **{f"{k}_{i}": v for i, d in enumerate(pool)
                        for k, v in d.items() if v is not None})
+            if self.keep_traj:
+                for i, (raw, gi) in enumerate(trajs):
+                    self._write_traj(raw, gi,
+                                     os.path.join(mol_dir, f"traj_{i}.sdf"),
+                                     stride=traj_stride)
         return {
             "name": name, "mols": mols, "smiles": smiles_list,
             "n_finished": len(mols), "n_failed": n_failed,

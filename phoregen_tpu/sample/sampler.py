@@ -72,7 +72,7 @@ class Sampler:
 
     def __init__(self, pg: PhoreGen,
                  guidance: Optional[Sequence[GuidanceOpt]] = None,
-                 keep_traj: bool = False, unroll: int = 25):
+                 keep_traj: bool = False, unroll: int = 8):
         self.pg = pg
         self.guidance = tuple(guidance) if guidance else ()
         self.keep_traj = keep_traj

@@ -58,6 +58,28 @@ def test_generate_outputs(pipeline, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "time_chain.txt"))
 
 
+def test_traj_output(tmp_path):
+    """keep_traj writes a multi-frame SDF trajectory for accepted mols."""
+    cfg = tiny_config()
+    pg = PhoreGen(cfg)
+    from phoregen_tpu.data.loader import PhoreDataLoader
+    from phoregen_tpu.data.synthetic import synthetic_dataset
+    loader = PhoreDataLoader(synthetic_dataset(1, 4, max_atoms=12), cfg, 4,
+                             shuffle=False)
+    params = pg.init_params(jax.random.PRNGKey(1), next(iter(loader)))
+    pipe = GenerationPipeline(pg, params, batch_size=4, keep_traj=True,
+                              add_edge="distance", seed=11)
+    phore = parse_phore_text(PHORE_TEXT, name="traj_phore")
+    out_dir = str(tmp_path / "traj")
+    os.makedirs(out_dir)
+    res = pipe.generate(phore, num_samples=1, out_dir=out_dir, traj_stride=4)
+    if res["n_finished"]:
+        traj = os.path.join(out_dir, "traj_phore", "traj_0.sdf")
+        assert os.path.exists(traj)
+        text = open(traj).read()
+        assert text.count("$$$$") >= 2  # multiple frames
+
+
 def test_fail_budget_abandons(pipeline):
     """With an untrained model some failures are expected; the loop must
     terminate within the 3x budget either way."""
