@@ -172,3 +172,92 @@ class CategoricalTransition:
         init_onehot = self.onehot_encode(init_types)
         log_vt = index_to_log_onehot(init_types, self.num_classes)
         return init_types, init_onehot, log_vt
+
+
+def _log_add_exp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    m = jnp.maximum(a, b)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+
+
+def _log1m_exp(log_a: np.ndarray) -> np.ndarray:
+    """log(1 - exp(log_a)), stable (host-side float64)."""
+    return np.log1p(-np.exp(log_a) + 1e-40)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class UniformCategoricalTransition:
+    """Legacy log-space uniform-prior categorical diffusion.
+
+    Parity: reference `models/transition.py:72-175` (`CategoricalTransition`)
+    — defined but not selected by the shipped configs; kept for completeness.
+    Closed-form ᾱ mixing with the uniform distribution instead of per-step
+    transition matrices: q(v_t|v_0) = ᾱ_t v_0 + (1-ᾱ_t)/K.
+    """
+    log_alphas: jnp.ndarray            # [T]
+    log_1m_alphas: jnp.ndarray
+    log_alphas_bar: jnp.ndarray
+    log_1m_alphas_bar: jnp.ndarray
+    num_classes: int
+
+    def tree_flatten(self):
+        return (self.log_alphas, self.log_1m_alphas, self.log_alphas_bar,
+                self.log_1m_alphas_bar), (self.num_classes,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, num_classes=aux[0])
+
+    @classmethod
+    def create(cls, betas: np.ndarray, num_classes: int
+               ) -> "UniformCategoricalTransition":
+        betas = np.asarray(betas, np.float64)
+        log_alphas = np.log(1.0 - betas)
+        log_alphas_bar = np.cumsum(log_alphas)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        return cls(f32(log_alphas), f32(_log1m_exp(log_alphas)),
+                   f32(log_alphas_bar), f32(_log1m_exp(log_alphas_bar)),
+                   num_classes)
+
+    def q_vt_pred(self, log_v0: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        la = _texp(self.log_alphas_bar[t], log_v0.ndim)
+        l1a = _texp(self.log_1m_alphas_bar[t], log_v0.ndim)
+        return _log_add_exp(log_v0 + la, l1a - np.log(self.num_classes))
+
+    def q_v_pred_one_timestep(self, log_vt: jnp.ndarray, t: jnp.ndarray
+                              ) -> jnp.ndarray:
+        la = _texp(self.log_alphas[t], log_vt.ndim)
+        l1a = _texp(self.log_1m_alphas[t], log_vt.ndim)
+        return _log_add_exp(log_vt + la, l1a - np.log(self.num_classes))
+
+    def add_noise(self, key: jax.Array, v: jnp.ndarray, t: jnp.ndarray):
+        log_v0 = index_to_log_onehot(v, self.num_classes)
+        log_q = self.q_vt_pred(log_v0, t)
+        v_pert = log_sample_categorical(key, log_q)
+        log_vt = index_to_log_onehot(v_pert, self.num_classes)
+        return jax.nn.one_hot(v_pert, self.num_classes, dtype=jnp.float32), \
+            log_vt, log_v0
+
+    def onehot_encode(self, v: jnp.ndarray) -> jnp.ndarray:
+        return jax.nn.one_hot(v, self.num_classes, dtype=jnp.float32)
+
+    def q_v_posterior(self, log_v0: jnp.ndarray, log_vt: jnp.ndarray,
+                      t: jnp.ndarray, v0_prob: bool = True) -> jnp.ndarray:
+        t_minus_1 = jnp.maximum(t - 1, 0)
+        log_qvtmin = self.q_vt_pred(log_v0, t_minus_1)
+        time_zero = _texp(t == 0, log_v0.ndim)
+        log_qvtmin = jnp.where(time_zero, log_v0, log_qvtmin)
+        unnormed = log_qvtmin + self.q_v_pred_one_timestep(log_vt, t)
+        return unnormed - jax.nn.logsumexp(unnormed, axis=-1, keepdims=True)
+
+    def compute_v_Lt(self, log_post_true, log_post_pred, log_v0, t):
+        kl_v = categorical_kl(log_post_true, log_post_pred)
+        decoder_nll = -log_categorical(log_v0, log_post_pred)
+        mask = _texp((t == 0).astype(kl_v.dtype), kl_v.ndim)
+        return mask * decoder_nll + (1.0 - mask) * kl_v
+
+    def sample_init(self, key: jax.Array, shape):
+        logits = jnp.zeros(tuple(shape) + (self.num_classes,))
+        init_types = log_sample_categorical(key, logits)
+        return init_types, self.onehot_encode(init_types), \
+            index_to_log_onehot(init_types, self.num_classes)

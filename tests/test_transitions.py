@@ -122,3 +122,38 @@ class TestCategorical:
         types, onehot, log_vt = tr.sample_init(jax.random.PRNGKey(0), (4, 512))
         frac0 = float(jnp.mean((types == 0).astype(jnp.float32)))
         assert abs(frac0 - 1.0 / 1.05) < 0.05  # absorb prior: p0 = 1/1.05
+
+
+# ----- legacy uniform transition (reference models/transition.py:72-175) ----
+
+def test_uniform_transition_matches_matrix_form():
+    """The closed-form uniform transition must agree with the matrix-based
+    GeneralCategoricalTransition under a uniform prior."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from phoregen_tpu.diffusion import (CategoricalTransition,
+                                        UniformCategoricalTransition)
+    from phoregen_tpu.ops.schedules import get_beta_schedule
+
+    K, T = 5, 12
+    betas = get_beta_schedule("linear", T, beta_start=1e-3, beta_end=0.3)
+    mat = CategoricalTransition.create(betas, K, "uniform")
+    uni = UniformCategoricalTransition.create(betas, K)
+
+    v = jnp.asarray([[0, 1, 2, 3], [4, 0, 1, 2]])
+    log_v0 = jax.nn.one_hot(v, K)
+    log_v0 = jnp.log(jnp.clip(log_v0, 1e-30, None))
+    for tv in (0, 3, T - 1):
+        t = jnp.full((2,), tv, jnp.int32)
+        q_mat = np.asarray(jnp.exp(mat.q_vt_pred(log_v0, t)))
+        q_uni = np.asarray(jnp.exp(uni.q_vt_pred(log_v0, t)))
+        np.testing.assert_allclose(q_mat, q_uni, atol=2e-3)
+
+    # posterior agreement (v0_prob form)
+    key = jax.random.PRNGKey(0)
+    _, log_vt, _ = uni.add_noise(key, v, jnp.full((2,), 5, jnp.int32))
+    t = jnp.full((2,), 5, jnp.int32)
+    p_uni = np.asarray(jnp.exp(uni.q_v_posterior(log_v0, log_vt, t)))
+    p_mat = np.asarray(jnp.exp(mat.q_v_posterior(log_v0, log_vt, t)))
+    np.testing.assert_allclose(p_uni, p_mat, atol=2e-3)
