@@ -96,6 +96,20 @@ class PairDataset:
         return out
 
 
+def pz_dataset(dataset_file: str, cfg: Config) -> List[RawSample]:
+    """Legacy pre-built-graph path (reference `datasets/phoregen.py:24-152`
+    `pz_dataset`): a single pickle holding a list of ready RawSamples (or
+    dicts with RawSample fields), filtered by `max_atom`."""
+    with open(dataset_file, "rb") as f:
+        items = pickle.load(f)
+    out = []
+    for it in items:
+        s = it if isinstance(it, RawSample) else RawSample(**it)
+        if s.n_atoms <= cfg.dataset.max_atom:
+            out.append(s)
+    return out
+
+
 def get_dataset(cfg: Config, synthetic_size: int = 0
                 ) -> Tuple[List[RawSample], List[RawSample],
                            List[RawSample]]:

@@ -127,3 +127,43 @@ def test_get_dataset_synthetic_fallback():
     s = train[0]
     assert s.lig_pos.shape == (s.n_atoms, 3)
     assert s.phore_x.shape[1] == 18
+
+
+def test_masking_transforms():
+    from phoregen_tpu.data.transforms import (k_hop_expand,
+                                              ligand_phore_affiliation,
+                                              mask_by_phore)
+    rng = np.random.default_rng(0)
+    lig_pos = np.asarray([[0, 0, 0], [1.4, 0, 0], [10, 0, 0]], np.float32)
+    phore_pos = np.asarray([[0.5, 0, 0], [20, 0, 0]], np.float32)
+    is_ex = np.asarray([False, True])
+    fixed = mask_by_phore(rng, lig_pos, phore_pos, is_ex,
+                          ligand_threshold=1.5, mask_one_phore=True)
+    assert fixed.tolist() == [True, True, False]
+
+    # chain 0-1-2-3: 1 hop from atom 0 reaches {0,1}; 2 hops {0,1,2}
+    bond_index = np.asarray([[0, 1, 1, 2, 2, 3], [1, 0, 2, 1, 3, 2]])
+    assert k_hop_expand(bond_index, 4, [0], 1).tolist() == [True, True,
+                                                            False, False]
+    assert k_hop_expand(bond_index, 4, [0], 2).tolist() == [True, True,
+                                                            True, False]
+
+    aff = ligand_phore_affiliation(lig_pos, phore_pos, is_ex,
+                                   dis_threshold=1.8)
+    assert aff.tolist() == [0, -1]  # nearest atom within range; EX skipped
+
+
+def test_pz_dataset_roundtrip(tmp_path):
+    import pickle
+    from phoregen_tpu.config import default_config
+    from phoregen_tpu.data.dataset import pz_dataset
+    from phoregen_tpu.data.synthetic import synthetic_dataset
+    cfg = default_config("zinc_300")
+    cfg.dataset.max_atom = 20
+    samples = synthetic_dataset(0, 8, max_atoms=28)
+    path = str(tmp_path / "graphs.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(samples, f)
+    loaded = pz_dataset(path, cfg)
+    assert all(s.n_atoms <= 20 for s in loaded)
+    assert 0 < len(loaded) < len(samples)  # filter applied
