@@ -38,7 +38,7 @@ def parse_args(argv=None):
     p.add_argument("--save_traj", action="store_true")
     p.add_argument("--save_pool", action="store_true",
                    help="dump raw sampled pools as <name>_samples_all.npz")
-    p.add_argument("--unroll", type=int, default=8,
+    p.add_argument("--unroll", type=int, default=1,
                    help="reverse-scan unroll factor (amortizes per-iteration "
                         "runtime overhead; higher = slower compile)")
     p.add_argument("--seed", type=int, default=2024)

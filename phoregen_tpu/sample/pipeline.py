@@ -37,7 +37,7 @@ class GenerationPipeline:
                  sample_nodes_mode: str = "uniform", normal_scale: float = 4.0,
                  add_edge: str = "predicted", batch_size: int = 30,
                  keep_traj: bool = False, seed: int = 2024,
-                 unroll: int = 8):
+                 unroll: int = 1):
         self.pg = pg
         self.params = params
         self.cfg = pg.config

@@ -72,14 +72,16 @@ class Sampler:
 
     def __init__(self, pg: PhoreGen,
                  guidance: Optional[Sequence[GuidanceOpt]] = None,
-                 keep_traj: bool = False, unroll: int = 8):
+                 keep_traj: bool = False, unroll: int = 1):
         self.pg = pg
         self.guidance = tuple(guidance) if guidance else ()
         self.keep_traj = keep_traj
-        # Unrolling amortizes the per-loop-iteration runtime overhead
-        # (~13 ms/iteration measured through the tunneled TPU runtime,
-        # regardless of body size) across `unroll` fused steps; the body
-        # compute itself is ~20 us/step, so rolled scans are overhead-bound.
+        # Scan unroll factor. On real TPU the rolled loop is optimal (the
+        # body compute is ~20 us/step and loop overhead is negligible).
+        # Measured through this sandbox's tunneled runtime there is a
+        # per-iteration staging overhead proportional to body size (~13 ms
+        # per body-equivalent), which unrolling cannot amortize — so the
+        # default stays 1; the knob exists for profiling experiments.
         self.unroll = unroll
 
     # ----- atom count interval -----
