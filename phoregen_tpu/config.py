@@ -120,6 +120,9 @@ class ModelConfig:
     loss_weight: List[float] = field(default_factory=lambda: [1, 100, 100])
     count_factor: float = 1
     hp_emb_with_pos: bool = True
+    # TPU-specific: denoiser compute dtype for sampling ('float32' or
+    # 'bfloat16'); posteriors/positions always accumulate in float32.
+    compute_dtype: str = "float32"
     diff: DiffConfig = field(default_factory=DiffConfig)
     denoiser: DenoiserConfig = field(default_factory=DenoiserConfig)
 
@@ -251,6 +254,9 @@ class Config:
         if ds.include_neib_dist:
             lig += 2
         m.lig_feat_dim = lig
+        assert m.compute_dtype in ("float32", "bfloat16"), (
+            f"model.compute_dtype must be float32 or bfloat16, "
+            f"got {m.compute_dtype!r}")
         assert m.denoiser.hidden_dim == m.hidden_dim, (
             "denoiser.hidden_dim must equal model.hidden_dim "
             "(reference models/diffusion.py:51)")

@@ -120,16 +120,20 @@ class GenerationPipeline:
         traj = raw.get("traj")
         if traj is None:
             return
-        node = np.asarray(traj["node"])[:, graph_idx]   # [T+1, NL, Ka]
+        ka = self.cfg.model.num_atom_classes
+        kb = self.cfg.model.num_bond_classes
+        node = np.asarray(traj["node"])[:, graph_idx].astype(int)  # [T+1, NL]
         pos = np.asarray(traj["pos"])[:, graph_idx]
-        edge = np.asarray(traj["edge"])[:, graph_idx]
+        edge = np.asarray(traj["edge"])[:, graph_idx].astype(int)
         mask = np.asarray(raw["lig_mask"])[graph_idx]
         from .chem import SimpleMol
         from .writers import append_sdf
         with open(path, "w") as f:
             for step in range(0, len(node), stride):
-                frames = decode_batch(node[step][None], pos[step][None],
-                                      edge[step][None], mask[None],
+                frames = decode_batch(np.eye(ka)[node[step]][None],
+                                      pos[step][None],
+                                      np.eye(kb)[edge[step]][None],
+                                      mask[None],
                                       include_bond=True)
                 fr = frames[0]
                 mol = SimpleMol(fr["element"], fr["atom_pos"],

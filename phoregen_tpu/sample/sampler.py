@@ -128,14 +128,31 @@ class Sampler:
         lmask = batch.lig_mask
         bond_mask = batch.bond_mask
 
+        # compute dtype for the denoiser network; categorical posteriors and
+        # position accumulation always stay float32
+        bf16 = mcfg.compute_dtype == "bfloat16"
+        cdt = jnp.bfloat16 if bf16 else jnp.float32
+        net_params = params
+        if bf16:
+            net_params = jax.tree_util.tree_map(
+                lambda x: x.astype(cdt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        phore_x_c = batch.phore_x.astype(cdt)
+        phore_pos_c = batch.phore_pos.astype(cdt)
+        phore_norm_c = batch.phore_norm.astype(cdt)
+
         k_init_pos, k_init_node, k_init_edge, k_scan = jax.random.split(key, 4)
         pos_init = pg.pos_transition.sample_init(k_init_pos, (B, NL, 3))
         if offset_init_by_center:
             pos_init = pos_init - batch.center[:, None, :]
-        _, h_node_init, log_node_init = pg.node_transition.sample_init(
+        node_init, _, log_node_init = pg.node_transition.sample_init(
             k_init_node, (B, NL))
-        _, h_edge_init, log_edge_init = pg.edge_transition.sample_init(
+        edge_init, _, log_edge_init = pg.edge_transition.sample_init(
             k_init_edge, (B, NL, NL))
+        # slim carry: class ids (int8) instead of one-hots — the scan state
+        # is what the runtime stages every iteration, so keep it minimal
+        node_init = node_init.astype(jnp.int8)
+        edge_init = edge_init.astype(jnp.int8)
 
         # non-EX phore centroid for center_prox (uses raw phore features,
         # reference `models/diffusion.py:493-497`)
@@ -144,68 +161,78 @@ class Sampler:
 
         guidance = self.guidance
 
-        def energy_fn(pos, h_edge_prev):
+        def energy_fn(pos, edge_ids):
             e = 0.0
             for g in guidance:
                 if g.type == "atom_prox" and mcfg.bond_diffusion:
-                    e = e + atom_prox_energy(pos, h_edge_prev, bond_mask,
-                                             lmask, g.min_d, g.max_d)
+                    e = e + atom_prox_energy(
+                        pos,
+                        jax.nn.one_hot(edge_ids, mcfg.num_bond_classes),
+                        bond_mask, lmask, g.min_d, g.max_d)
                 elif g.type == "center_prox":
                     e = e + center_prox_energy(pos, lmask, phore_center)
             return e
 
         def step(carry, i):
-            key, pos_pert, h_node_pert, log_node_type, h_edge_pert, \
+            key, pos_pert, node_ids, log_node_type, edge_ids, \
                 log_edge_type, _ = carry
             step_t = T - 1 - i
             t = jnp.full((B,), step_t, jnp.int32)
             key, k_node, k_edge, k_pos = jax.random.split(key, 4)
 
+            h_node_pert = jax.nn.one_hot(node_ids, mcfg.num_atom_classes,
+                                         dtype=cdt)
+            h_edge_pert = jax.nn.one_hot(edge_ids, mcfg.num_bond_classes,
+                                         dtype=cdt)
             pred_node, pred_pos, pred_edge, _ = pg.net.apply(
-                params, h_node_pert, pos_pert, lmask, h_edge_pert, t,
-                batch.phore_x, batch.phore_pos, batch.phore_norm,
+                net_params, h_node_pert, pos_pert.astype(cdt), lmask,
+                h_edge_pert, t, phore_x_c, phore_pos_c, phore_norm_c,
                 batch.phore_mask)
+            pred_node = pred_node.astype(jnp.float32)
+            pred_pos = pred_pos.astype(jnp.float32)
+            if pred_edge is not None:
+                pred_edge = pred_edge.astype(jnp.float32)
 
-            # categorical posteriors + Gumbel sampling
+            # categorical posteriors + Gumbel sampling (float32)
             log_node_recon = jax.nn.log_softmax(pred_node, axis=-1)
             log_node_type = pg.node_transition.q_v_posterior(
                 log_node_recon, log_node_type, t, v0_prob=True)
-            node_prev = log_sample_categorical(k_node, log_node_type)
-            h_node_prev = pg.node_transition.onehot_encode(node_prev)
+            node_prev = log_sample_categorical(k_node, log_node_type
+                                               ).astype(jnp.int8)
 
-            h_edge_prev = h_edge_pert
+            edge_prev = edge_ids
             if mcfg.bond_diffusion:
                 log_edge_recon = jax.nn.log_softmax(pred_edge, axis=-1)
                 log_edge_type = pg.edge_transition.q_v_posterior(
                     log_edge_recon, log_edge_type, t, v0_prob=True)
-                edge_prev = log_sample_categorical(k_edge, log_edge_type)
-                h_edge_prev = pg.edge_transition.onehot_encode(edge_prev)
+                edge_prev = log_sample_categorical(k_edge, log_edge_type
+                                                   ).astype(jnp.int8)
 
             # validity guidance: d(energy)/d(x_t) subtracted from the mean
             energy_grad = 0.0
             if guidance:
                 energy_grad = jax.grad(
-                    lambda p: energy_fn(p, h_edge_prev))(pos_pert)
+                    lambda p: energy_fn(p, edge_prev))(pos_pert)
 
             pos_prev = pg.pos_transition.get_prev_from_recon(
                 k_pos, pos_pert, pred_pos, t, energy_grad=energy_grad)
 
             if pred_edge is None:  # keep carry structure static
                 pred_edge = jnp.zeros((B, NL, NL, mcfg.num_bond_classes))
-            carry = (key, pos_prev, h_node_prev, log_node_type,
-                     h_edge_prev, log_edge_type,
+            carry = (key, pos_prev, node_prev, log_node_type,
+                     edge_prev, log_edge_type,
                      (pred_node, pred_pos, pred_edge))
             ys = None
             if self.keep_traj:
-                ys = (h_node_prev, pos_prev + batch.center[:, None, :],
-                      h_edge_prev)
+                ys = (node_prev, pos_prev + batch.center[:, None, :],
+                      edge_prev)
             return carry, ys
 
         preds0 = (jnp.zeros((B, NL, mcfg.num_atom_classes)),
                   jnp.zeros((B, NL, 3)),
                   jnp.zeros((B, NL, NL, mcfg.num_bond_classes)))
-        carry0 = (k_scan, pos_init, h_node_init, log_node_init,
-                  h_edge_init, log_edge_init, preds0)
+        carry0 = (k_scan, pos_init, node_init, log_node_init,
+                  edge_init, log_edge_init, preds0)
         carry, ys = jax.lax.scan(step, carry0, jnp.arange(T),
                                  unroll=min(self.unroll, T))
         preds = carry[6]
@@ -213,6 +240,10 @@ class Sampler:
         pred_pos = preds[1] + batch.center[:, None, :]
         pred_edge = preds[2] if mcfg.bond_diffusion else None
 
+        onehot_node = lambda ids: jax.nn.one_hot(
+            ids, mcfg.num_atom_classes, dtype=jnp.float32)
+        onehot_edge = lambda ids: jax.nn.one_hot(
+            ids, mcfg.num_bond_classes, dtype=jnp.float32)
         result = {
             "pred_node": pred_node,      # [B, NL, Ka] logits at t=0
             "pred_pos": pred_pos,        # [B, NL, 3] x_recon + center
@@ -220,15 +251,17 @@ class Sampler:
             "lig_mask": lmask,
             "final_state": {
                 "pos": carry[1] + batch.center[:, None, :],
-                "h_node": carry[2], "h_edge": carry[4],
+                "h_node": onehot_node(carry[2]),
+                "h_edge": onehot_edge(carry[4]),
             },
         }
         ys = ys if self.keep_traj else None
         if self.keep_traj:
+            # trajectories as class ids (host decodes per frame)
             result["traj"] = {
-                "node": jnp.concatenate([h_node_init[None], ys[0]], 0),
+                "node": jnp.concatenate([node_init[None], ys[0]], 0),
                 "pos": jnp.concatenate(
                     [(pos_init + batch.center[:, None, :])[None], ys[1]], 0),
-                "edge": jnp.concatenate([h_edge_init[None], ys[2]], 0),
+                "edge": jnp.concatenate([edge_init[None], ys[2]], 0),
             }
         return result
