@@ -59,6 +59,7 @@ class UniDenoiser(nn.Module):
     use_global_ew: bool = True
     triplet_mode: str = "factorized"
     triplet_width: int = 32
+    use_pallas_triplet: bool = False
 
     @nn.compact
     def __call__(self, h, x, h_bond, node_mask, phore_norm=None,
@@ -96,6 +97,7 @@ class UniDenoiser(nn.Module):
                             direction_match=self.direction_match,
                             triplet_mode=self.triplet_mode,
                             triplet_width=self.triplet_width,
+                            use_pallas_triplet=self.use_pallas_triplet,
                             name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
@@ -143,6 +145,7 @@ class _AttentionLayer(nn.Module):
     direction_match: bool
     triplet_mode: str = "factorized"
     triplet_width: int = 32
+    use_pallas_triplet: bool = False
 
     @nn.compact
     def __call__(self, h, x, edge_type, nbr_idx, nbr_mask, h_bond,
@@ -196,6 +199,7 @@ class _AttentionLayer(nn.Module):
             hidden_dim=self.hidden_dim, n_heads=self.n_heads, norm=self.norm,
             act_fn=self.act_fn, include_h_node=self.include_h_node,
             mode=self.triplet_mode, width=self.triplet_width,
+            use_pallas=self.use_pallas_triplet,
             name="bond_layer")(h_lig, h_bond, x[:, NP:], mask_l)
 
         new_h = h + nn.Dense(self.hidden_dim, name="lin_node")(

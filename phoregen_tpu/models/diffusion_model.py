@@ -58,7 +58,8 @@ class PhoreDiffNet(nn.Module):
             direction_match=d.direction_match,
             use_global_ew=d.use_global_ew,
             triplet_mode=d.triplet_mode,
-            triplet_width=d.triplet_width)
+            triplet_width=d.triplet_width,
+            use_pallas_triplet=d.use_pallas_triplet)
         self.v_inference_0 = nn.Dense(H)
         self.v_inference_2 = nn.Dense(cfg.num_atom_classes)
         self.atom_mlp_0 = nn.Dense(2 * H)

@@ -276,6 +276,7 @@ class BondUpdateTriplet(nn.Module):
     num_ang_funcs: int = 3
     mode: str = "factorized"
     width: int = 32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, h_bond, pos, node_mask):
@@ -288,10 +289,13 @@ class BondUpdateTriplet(nn.Module):
         offsets = jnp.asarray(offsets)
         freq_bands = jnp.asarray(angular_encoding_freq_bands(self.num_ang_funcs))
 
-        # pairwise geometry
+        # pairwise distances (shared by both modes)
         rel = pos[:, :, None, :] - pos[:, None, :, :]         # rel[x,i] = x - i
         dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-12)  # [B,N,N]
         r_feat = gaussian_smearing(dist, offsets, coeff)      # [B,N,N,20]
+
+        if self.mode == "factorized":
+            return self._factorized(h, h_bond, r_feat, pos, node_mask, act)
 
         # angle at i between j->i and k->i, via |a×b|^2 = |a|^2|b|^2-(a.b)^2
         # dot[j,k,i] = rel[j,i] . rel[k,i]
@@ -313,9 +317,6 @@ class BondUpdateTriplet(nn.Module):
         neq_ji = idx[None, :, None] != idx[None, None, :]
         neq_ki = idx[:, None, None] != idx[None, None, :]
         tri_mask = valid3 & (neq_kj & neq_ji & neq_ki)[None]   # [B,k,j,i]
-
-        if self.mode == "factorized":
-            return self._factorized(h, h_bond, r_feat, a_feat, tri_mask, act)
 
         # ---- dense (exact-width) path ----
         # factorized first linear layer of the k/v MLPs; full kv_input order:
@@ -369,14 +370,18 @@ class BondUpdateTriplet(nn.Module):
         out = jnp.sum(alpha[..., None] * v_t, axis=1)  # [B,j,i,heads,dh]
         return out.reshape(B, N, N, self.hidden_dim)
 
-    def _factorized(self, h, h_bond, r_feat, a_feat, tri_mask, act):
+    def _factorized(self, h, h_bond, r_feat, pos, node_mask, act):
         """Width-Wt triplet attention: pre_kji = act(LN(a_kj + a_ji + a_ang)),
         logits_kji,h = q_ji,h . pre_kji / sqrt(Wt), out_ji = Dense over the
-        per-head alpha-pooled pre features. Only `pre` and `alpha` ever live
-        on the O(NL^3) grid, both at small width."""
+        per-head alpha-pooled pre features. The O(NL^3)-grid segment runs in
+        either the XLA reference or the fused Pallas kernel
+        (`ops/pallas_triplet.py`, `use_pallas`)."""
+        from ..ops.pallas_triplet import triplet_pool
+
         B, N, H = h.shape
         Wt = self.width
         heads = self.n_heads
+        ang_dim = 1 + 4 * self.num_ang_funcs
 
         hk_exp = jnp.broadcast_to(h[:, :, None, :], (B, N, N, H))  # h[src=k]
         hj_exp = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))  # h[dst=j]
@@ -387,12 +392,13 @@ class BondUpdateTriplet(nn.Module):
 
         a_kj = nn.Dense(Wt, name="tf_kj")(f_kj)                # [B,k,j,Wt]
         a_ji = nn.Dense(Wt, use_bias=False, name="tf_ji")(r_feat)
-        a_ang = nn.Dense(Wt, use_bias=False, name="tf_ang")(a_feat)
-        pre = (a_kj[:, :, :, None, :] + a_ji[:, None, :, :, :]
-               + a_ang.transpose(0, 2, 1, 3, 4))               # [B,k,j,i,Wt]
-        if self.norm:
-            pre = nn.LayerNorm(name="tf_ln")(pre)
-        pre = act(pre)
+        # raw params (shared by XLA and Pallas paths)
+        w_ang = self.param("tf_ang_w", nn.initializers.lecun_normal(),
+                           (ang_dim, Wt))
+        ln_scale = self.param("tf_ln_scale", nn.initializers.ones, (Wt,)) \
+            if self.norm else jnp.ones((Wt,))
+        ln_bias = self.param("tf_ln_bias", nn.initializers.zeros, (Wt,)) \
+            if self.norm else jnp.zeros((Wt,))
 
         if self.include_h_node:
             hi_exp = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))
@@ -403,9 +409,9 @@ class BondUpdateTriplet(nn.Module):
                 act_fn=self.act_fn, name="tf_q")(q_input)      # [B,j,i,h*Wt]
         q = q.reshape(B, N, N, heads, Wt)
 
-        scores = jnp.einsum("bkjiw,bjihw->bkjih", pre, q) / np.sqrt(Wt)
-        alpha = masked_softmax(scores, tri_mask[..., None], axis=1)  # over k
-        pooled = jnp.einsum("bkjih,bkjiw->bjihw", alpha, pre)
-        out = nn.Dense(self.hidden_dim, name="tf_out")(
-            pooled.reshape(B, N, N, heads * Wt))
+        pooled = triplet_pool(a_kj, a_ji, q, pos, node_mask, w_ang,
+                              ln_scale, ln_bias, act, self.norm,
+                              num_ang_funcs=self.num_ang_funcs,
+                              use_pallas=self.use_pallas)
+        out = nn.Dense(self.hidden_dim, name="tf_out")(pooled)
         return out
