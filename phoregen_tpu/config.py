@@ -205,6 +205,9 @@ class LoggerConfig:
     restart_dir: str = ""
     model_ckp: str = "last"
     tensorboard: bool = True
+    # TPU-specific: capture a jax.profiler trace of N train steps of the
+    # first epoch into <run_dir>/profile (0 = off). SURVEY.md §5.1 upgrade.
+    profile_steps: int = 0
 
 
 _NESTED = {

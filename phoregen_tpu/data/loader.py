@@ -125,6 +125,14 @@ class PhoreDataLoader:
         return collate(padded)
 
     def __iter__(self) -> Iterator[PhoreGraphBatch]:
+        """Yields batches; under multi-host SPMD every process computes the
+        same global order (seeded) and assembles only its slice of each
+        batch (the `DistributedSampler` replacement, SURVEY.md §2.7)."""
+        import jax
         rng = np.random.default_rng(self.seed + self.epoch)
+        n_proc = jax.process_count()
         for idxs in self._batch_indices(rng):
+            if n_proc > 1:
+                from ..parallel.mesh import local_batch_slice
+                idxs = idxs[local_batch_slice(len(idxs))]
             yield self._assemble(idxs, rng)

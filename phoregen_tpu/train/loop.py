@@ -130,13 +130,38 @@ class Run:
         # host-scalar seeds; the jitted step derives its PRNG key on-device
         base = np.uint64(cfg.train.seed) * np.uint64(1000003) \
             + np.uint64(epoch) * np.uint64(7919)
+        multi_host = jax.process_count() > 1
+        if multi_host:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data_sh = NamedSharding(self.mesh, P(cfg.train.data_axis))
+        # optional jax.profiler capture of steps [1, 1+N) of epoch 0
+        prof_n = cfg.logger.profile_steps if (
+            mode == "train" and epoch == 0) else 0
+        prof_active = False
         for idx, batch in enumerate(loader):
+            if prof_n and idx == 1:
+                jax.profiler.start_trace(
+                    os.path.join(self.logger.run_dir, "profile"))
+                prof_active = True
+            if prof_active and idx == 1 + prof_n:
+                jax.profiler.stop_trace()
+                prof_active = False
+                self.logger.log("Profiler trace written to "
+                                f"{self.logger.run_dir}/profile")
             seed = np.uint32((base + np.uint64(idx)) % np.uint64(2**32))
+            if multi_host:
+                # assemble the global array from per-host batch slices
+                # (the loader yields only this process's rows)
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        data_sh, np.asarray(x)), batch)
             if mode == "train":
                 self.state, metrics = self.train_step(self.state, seed, batch)
             else:
                 metrics = self.eval_step(self.state.params, seed, batch)
             self.logger.record(jax.device_get(metrics), mode=mode)
+        if prof_active:  # short epoch: close the trace cleanly
+            jax.profiler.stop_trace()
             if mode == "train" and idx and \
                     idx % cfg.train.n_report_steps == 0:
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
