@@ -103,6 +103,10 @@ class DenoiserConfig:
     # MLPs, the exact-width reference analogue). See BondUpdateTriplet.
     triplet_mode: str = "factorized"
     triplet_width: int = 32
+    # TPU-specific: run the num_layers-deep attention stack as one
+    # nn.scan'd layer with stacked params — ~num_layers x smaller compiled
+    # program (compile time and loop-body size), identical math.
+    scan_layers: bool = True
 
 
 @dataclass

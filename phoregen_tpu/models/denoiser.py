@@ -60,6 +60,7 @@ class UniDenoiser(nn.Module):
     triplet_mode: str = "factorized"
     triplet_width: int = 32
     use_pallas_triplet: bool = False
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, h, x, h_bond, node_mask, phore_norm=None,
@@ -87,20 +88,31 @@ class UniDenoiser(nn.Module):
 
         # shared layer stack, reused across blocks (reference shares
         # `base_block` across blocks, `uni_denoiser.py:339-349,419-421`)
-        layers = [
-            _AttentionLayer(hidden_dim=self.hidden_dim, n_heads=self.n_heads,
-                            num_r_gaussian=self.num_r_gaussian,
-                            edge_feat_dim=self.edge_feat_dim,
-                            act_fn=self.act_fn, norm=self.norm,
-                            x2h_out_fc=self.x2h_out_fc,
-                            include_h_node=self.h_node_in_bond_net,
-                            direction_match=self.direction_match,
-                            triplet_mode=self.triplet_mode,
-                            triplet_width=self.triplet_width,
-                            use_pallas_triplet=self.use_pallas_triplet,
-                            name=f"layer_{i}")
-            for i in range(self.num_layers)
-        ]
+        layer_kw = dict(hidden_dim=self.hidden_dim, n_heads=self.n_heads,
+                        num_r_gaussian=self.num_r_gaussian,
+                        edge_feat_dim=self.edge_feat_dim,
+                        act_fn=self.act_fn, norm=self.norm,
+                        x2h_out_fc=self.x2h_out_fc,
+                        include_h_node=self.h_node_in_bond_net,
+                        direction_match=self.direction_match,
+                        triplet_mode=self.triplet_mode,
+                        triplet_width=self.triplet_width,
+                        use_pallas_triplet=self.use_pallas_triplet)
+        if self.scan_layers:
+            # one nn.scan'd layer with stacked params: the compiled body is
+            # ~num_layers x smaller (same math, same per-layer params)
+            scanned = nn.scan(
+                _ScanLayerBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.num_layers,
+                in_axes=(nn.broadcast,) * 8,
+            )(name="layers", **layer_kw)
+        else:
+            layers = [
+                _AttentionLayer(**layer_kw, name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
         if self.use_global_ew:
             edge_pred = MLP(1, self.hidden_dim, norm=self.norm,
                             name="edge_pred_layer")
@@ -120,12 +132,63 @@ class UniDenoiser(nn.Module):
                 dist_feat = gaussian_smearing(d, offsets, coeff)
                 e_w = jax.nn.sigmoid(edge_pred(dist_feat)[..., 0])  # [B,N,K]
 
-            for layer in layers:
-                h, h_bond, x = layer(h, x, edge_type, nbr_idx, nbr_mask,
-                                     h_bond, mask_l, pair_mask, node_mask,
-                                     e_w=e_w, phore_norm=phore_norm,
-                                     num_phore=NP)
+            if self.scan_layers:
+                # ones = no reweighting (the None case of the unscanned path)
+                ew_b = (e_w if e_w is not None
+                        else jnp.ones(nbr_idx.shape, h.dtype))
+                (h, h_bond, x), _ = scanned(
+                    (h, h_bond, x), edge_type, nbr_idx, nbr_mask, mask_l,
+                    pair_mask, node_mask, ew_b,
+                    phore_norm if phore_norm is not None
+                    else jnp.zeros((B, NP, 3), h.dtype))
+            else:
+                for layer in layers:
+                    h, h_bond, x = layer(h, x, edge_type, nbr_idx, nbr_mask,
+                                         h_bond, mask_l, pair_mask, node_mask,
+                                         e_w=e_w, phore_norm=phore_norm,
+                                         num_phore=NP)
         return {"x": x, "h": h, "h_bond": h_bond}
+
+
+class _ScanLayerBody(nn.Module):
+    """nn.scan-compatible wrapper: carry = (h, h_bond, x), extras broadcast.
+
+    `num_phore` rides in statically via the phore_norm shape; `e_w` arrives
+    as a dense array (zeros = disabled upstream; `use_global_ew` decides
+    whether the denoiser computed real weights).
+    """
+    hidden_dim: int
+    n_heads: int
+    num_r_gaussian: int
+    edge_feat_dim: int
+    act_fn: str
+    norm: bool
+    x2h_out_fc: bool
+    include_h_node: bool
+    direction_match: bool
+    triplet_mode: str = "factorized"
+    triplet_width: int = 32
+    use_pallas_triplet: bool = False
+
+    @nn.compact
+    def __call__(self, carry, edge_type, nbr_idx, nbr_mask, mask_l,
+                 pair_mask, node_mask, e_w, phore_norm):
+        h, h_bond, x = carry
+        NP = phore_norm.shape[1]
+        h, h_bond, x = _AttentionLayer(
+            hidden_dim=self.hidden_dim, n_heads=self.n_heads,
+            num_r_gaussian=self.num_r_gaussian,
+            edge_feat_dim=self.edge_feat_dim, act_fn=self.act_fn,
+            norm=self.norm, x2h_out_fc=self.x2h_out_fc,
+            include_h_node=self.include_h_node,
+            direction_match=self.direction_match,
+            triplet_mode=self.triplet_mode,
+            triplet_width=self.triplet_width,
+            use_pallas_triplet=self.use_pallas_triplet,
+            name="layer")(
+            h, x, edge_type, nbr_idx, nbr_mask, h_bond, mask_l, pair_mask,
+            node_mask, e_w=e_w, phore_norm=phore_norm, num_phore=NP)
+        return (h, h_bond, x), None
 
 
 class _AttentionLayer(nn.Module):
