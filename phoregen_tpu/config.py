@@ -107,6 +107,10 @@ class DenoiserConfig:
     # nn.scan'd layer with stacked params — ~num_layers x smaller compiled
     # program (compile time and loop-body size), identical math.
     scan_layers: bool = True
+    # TPU-specific: restrict the triplet source bond k->j to the K nearest
+    # neighbours of j (0 = all k, exact). O(NL^2 K) instead of O(NL^3) —
+    # the lever for 64/80-atom buckets.
+    triplet_knn: int = 0
 
 
 @dataclass
@@ -264,6 +268,10 @@ class Config:
         assert m.compute_dtype in ("float32", "bfloat16"), (
             f"model.compute_dtype must be float32 or bfloat16, "
             f"got {m.compute_dtype!r}")
+        assert m.denoiser.triplet_knn >= 0, (
+            "denoiser.triplet_knn must be >= 0 (0 = exact full-k)")
+        assert m.denoiser.triplet_mode in ("factorized", "dense"), (
+            f"unknown denoiser.triplet_mode {m.denoiser.triplet_mode!r}")
         assert m.denoiser.hidden_dim == m.hidden_dim, (
             "denoiser.hidden_dim must equal model.hidden_dim "
             "(reference models/diffusion.py:51)")

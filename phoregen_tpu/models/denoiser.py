@@ -61,6 +61,7 @@ class UniDenoiser(nn.Module):
     triplet_width: int = 32
     use_pallas_triplet: bool = False
     scan_layers: bool = True
+    triplet_knn: int = 0
 
     @nn.compact
     def __call__(self, h, x, h_bond, node_mask, phore_norm=None,
@@ -97,7 +98,8 @@ class UniDenoiser(nn.Module):
                         direction_match=self.direction_match,
                         triplet_mode=self.triplet_mode,
                         triplet_width=self.triplet_width,
-                        use_pallas_triplet=self.use_pallas_triplet)
+                        use_pallas_triplet=self.use_pallas_triplet,
+                        triplet_knn=self.triplet_knn)
         if self.scan_layers:
             # one nn.scan'd layer with stacked params: the compiled body is
             # ~num_layers x smaller (same math, same per-layer params)
@@ -169,6 +171,7 @@ class _ScanLayerBody(nn.Module):
     triplet_mode: str = "factorized"
     triplet_width: int = 32
     use_pallas_triplet: bool = False
+    triplet_knn: int = 0
 
     @nn.compact
     def __call__(self, carry, edge_type, nbr_idx, nbr_mask, mask_l,
@@ -185,6 +188,7 @@ class _ScanLayerBody(nn.Module):
             triplet_mode=self.triplet_mode,
             triplet_width=self.triplet_width,
             use_pallas_triplet=self.use_pallas_triplet,
+            triplet_knn=self.triplet_knn,
             name="layer")(
             h, x, edge_type, nbr_idx, nbr_mask, h_bond, mask_l, pair_mask,
             node_mask, e_w=e_w, phore_norm=phore_norm, num_phore=NP)
@@ -209,6 +213,7 @@ class _AttentionLayer(nn.Module):
     triplet_mode: str = "factorized"
     triplet_width: int = 32
     use_pallas_triplet: bool = False
+    triplet_knn: int = 0
 
     @nn.compact
     def __call__(self, h, x, edge_type, nbr_idx, nbr_mask, h_bond,
@@ -262,7 +267,7 @@ class _AttentionLayer(nn.Module):
             hidden_dim=self.hidden_dim, n_heads=self.n_heads, norm=self.norm,
             act_fn=self.act_fn, include_h_node=self.include_h_node,
             mode=self.triplet_mode, width=self.triplet_width,
-            use_pallas=self.use_pallas_triplet,
+            use_pallas=self.use_pallas_triplet, knn_k=self.triplet_knn,
             name="bond_layer")(h_lig, h_bond, x[:, NP:], mask_l)
 
         new_h = h + nn.Dense(self.hidden_dim, name="lin_node")(

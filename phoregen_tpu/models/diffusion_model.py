@@ -60,7 +60,8 @@ class PhoreDiffNet(nn.Module):
             triplet_mode=d.triplet_mode,
             triplet_width=d.triplet_width,
             use_pallas_triplet=d.use_pallas_triplet,
-            scan_layers=d.scan_layers)
+            scan_layers=d.scan_layers,
+            triplet_knn=d.triplet_knn)
         self.v_inference_0 = nn.Dense(H)
         self.v_inference_2 = nn.Dense(cfg.num_atom_classes)
         self.atom_mlp_0 = nn.Dense(2 * H)

@@ -277,6 +277,7 @@ class BondUpdateTriplet(nn.Module):
     mode: str = "factorized"
     width: int = 32
     use_pallas: bool = False
+    knn_k: int = 0  # >0: restrict k to the K nearest neighbours of j
 
     @nn.compact
     def __call__(self, h, h_bond, pos, node_mask):
@@ -409,9 +410,68 @@ class BondUpdateTriplet(nn.Module):
                 act_fn=self.act_fn, name="tf_q")(q_input)      # [B,j,i,h*Wt]
         q = q.reshape(B, N, N, heads, Wt)
 
-        pooled = triplet_pool(a_kj, a_ji, q, pos, node_mask, w_ang,
-                              ln_scale, ln_bias, act, self.norm,
-                              num_ang_funcs=self.num_ang_funcs,
-                              use_pallas=self.use_pallas)
+        if self.knn_k > 0 and self.knn_k < N - 1:
+            pooled = self._pool_knn(a_kj, a_ji, q, pos, node_mask, w_ang,
+                                    ln_scale, ln_bias, act)
+        else:
+            pooled = triplet_pool(a_kj, a_ji, q, pos, node_mask, w_ang,
+                                  ln_scale, ln_bias, act, self.norm,
+                                  num_ang_funcs=self.num_ang_funcs,
+                                  use_pallas=self.use_pallas)
         out = nn.Dense(self.hidden_dim, name="tf_out")(pooled)
         return out
+
+    def _pool_knn(self, a_kj, a_ji, q, pos, node_mask, w_ang, ln_scale,
+                  ln_bias, act):
+        """k restricted to the K nearest neighbours of j: O(NL^2 K) grids.
+
+        TPU-first divergence (config `denoiser.triplet_knn`): the reference
+        attends over every source bond k->j of the fully-connected graph;
+        distant k carry negligible attention mass, so truncating to the
+        spatial neighbourhood preserves the inductive bias at a fraction of
+        the memory/FLOPs — the lever that makes 64/80-atom buckets cheap.
+        """
+        from ..ops.knn import knn_neighbors
+        from ..ops.pallas_triplet import LN_EPS, NEG_INF, _angle_encode
+
+        B, N, _, Wt = a_kj.shape
+        heads = q.shape[-2]
+        K = self.knn_k
+        freq = jnp.asarray(angular_encoding_freq_bands(self.num_ang_funcs))
+
+        nbr_idx, nbr_mask = knn_neighbors(pos, node_mask, K)  # k in knn(j)
+        # gather a_kj -> [B, j, K, Wt]
+        a_kj_j = jnp.take_along_axis(
+            a_kj.transpose(0, 2, 1, 3),                        # [B, j, k, Wt]
+            nbr_idx[..., None], axis=2)
+        pos_k = gather_nodes(pos, nbr_idx)                     # [B, j, K, 3]
+
+        # angle at i between j->i and k->i
+        rel_ji = pos[:, :, None, :] - pos[:, None, :, :]       # [B, j?, i, 3]
+        rel_ki = pos_k[:, :, :, None, :] - pos[:, None, None, :, :]
+        dot = jnp.sum(rel_ji[:, :, None, :, :] * rel_ki, -1)   # [B, j, K, i]
+        njsq = jnp.sum(rel_ji * rel_ji, -1)                    # [B, j, i]
+        nksq = jnp.sum(rel_ki * rel_ki, -1)                    # [B, j, K, i]
+        cross = jnp.sqrt(jnp.clip(
+            njsq[:, :, None, :] * nksq - dot * dot, 0.0, None))
+        angle = jnp.arctan2(cross, dot)                        # [B, j, K, i]
+        a_ang = _angle_encode(angle, freq) @ w_ang             # [B, j, K, i, Wt]
+
+        pre = (a_kj_j[:, :, :, None, :] + a_ji[:, :, None, :, :] + a_ang)
+        if self.norm:
+            mu = jnp.mean(pre, axis=-1, keepdims=True)
+            var = jnp.mean((pre - mu) ** 2, axis=-1, keepdims=True)
+            pre = (pre - mu) * jax.lax.rsqrt(var + LN_EPS) * ln_scale + ln_bias
+        pre = act(pre)
+
+        scores = jnp.einsum("bjkiw,bjihw->bjkih", pre, q) / np.sqrt(Wt)
+        # mask: k valid neighbour of j; i valid; k != i; i != j (k != j is
+        # guaranteed by knn_neighbors excluding self)
+        idx = jnp.arange(N)
+        neq_ki = nbr_idx[..., None] != idx[None, None, None, :]  # [B,j,K,i]
+        neq_ji = (idx[:, None] != idx[None, :])[None, :, None, :]
+        valid = (nbr_mask[..., None] & node_mask[:, None, None, :]
+                 & node_mask[:, :, None, None] & neq_ki & neq_ji)
+        alpha = masked_softmax(scores, valid[..., None], axis=2)  # over K
+        pooled = jnp.einsum("bjkih,bjkiw->bjihw", alpha, pre)
+        return pooled.reshape(B, N, N, heads * Wt)

@@ -73,3 +73,39 @@ def test_model_runs_with_pallas_flag():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(edge), np.asarray(edge2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_triplet_knn_mode():
+    """knn-restricted triplets: finite outputs, and K >= N-1 falls back to
+    the exact full-k path (identical params -> identical outputs)."""
+    from phoregen_tpu.models.phoregen import PhoreGen
+    from tests.test_models import forward, make_batch
+    from tests.test_train import tiny_config
+
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng)
+
+    cfg_full = tiny_config()
+    pg_full = PhoreGen(cfg_full)
+    params = pg_full.init_params(jax.random.PRNGKey(0), batch)
+    out_full = jax.jit(lambda p, b: forward(pg_full, p, b))(params, batch)
+
+    # K >= N-1 -> exact path (same module params work in both)
+    cfg_k = tiny_config()
+    cfg_k.model.denoiser.triplet_knn = 7  # N=8 -> falls back to exact
+    pg_k = PhoreGen(cfg_k)
+    out_k = jax.jit(lambda p, b: forward(pg_k, p, b))(params, batch)
+    np.testing.assert_allclose(np.asarray(out_k[0]), np.asarray(out_full[0]),
+                               rtol=1e-5, atol=1e-5)
+
+    # small K: restricted attention, finite and param-compatible
+    cfg_s = tiny_config()
+    cfg_s.model.denoiser.triplet_knn = 3
+    pg_s = PhoreGen(cfg_s)
+    node, pos_o, edge, cnt = jax.jit(
+        lambda p, b: forward(pg_s, p, b))(params, batch)
+    assert np.isfinite(np.asarray(node)).all()
+    assert np.isfinite(np.asarray(edge)).all()
+    assert np.isfinite(np.asarray(pos_o)).all()
+    # restriction changes the result (it is a different attention set)
+    assert not np.allclose(np.asarray(edge), np.asarray(out_full[2]))
