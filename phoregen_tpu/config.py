@@ -111,6 +111,11 @@ class DenoiserConfig:
     # neighbours of j (0 = all k, exact). O(NL^2 K) instead of O(NL^3) —
     # the lever for 64/80-atom buckets.
     triplet_knn: int = 0
+    # TPU-specific: rematerialize each scanned layer in the backward pass
+    # (jax.checkpoint). The O(NL^3)-grid activations x num_layers otherwise
+    # exhaust HBM in training (measured: batch 16 at NL=32 OOMs 16G without
+    # remat). ~1/3 extra forward FLOPs, ~num_layers x less activation memory.
+    remat_layers: bool = True
 
 
 @dataclass

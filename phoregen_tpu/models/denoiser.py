@@ -62,6 +62,7 @@ class UniDenoiser(nn.Module):
     use_pallas_triplet: bool = False
     scan_layers: bool = True
     triplet_knn: int = 0
+    remat_layers: bool = True
 
     @nn.compact
     def __call__(self, h, x, h_bond, node_mask, phore_norm=None,
@@ -102,9 +103,12 @@ class UniDenoiser(nn.Module):
                         triplet_knn=self.triplet_knn)
         if self.scan_layers:
             # one nn.scan'd layer with stacked params: the compiled body is
-            # ~num_layers x smaller (same math, same per-layer params)
+            # ~num_layers x smaller (same math, same per-layer params);
+            # remat drops per-layer activations in the backward pass
+            body = (nn.remat(_ScanLayerBody, prevent_cse=False)
+                    if self.remat_layers else _ScanLayerBody)
             scanned = nn.scan(
-                _ScanLayerBody,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.num_layers,

@@ -61,7 +61,8 @@ class PhoreDiffNet(nn.Module):
             triplet_width=d.triplet_width,
             use_pallas_triplet=d.use_pallas_triplet,
             scan_layers=d.scan_layers,
-            triplet_knn=d.triplet_knn)
+            triplet_knn=d.triplet_knn,
+            remat_layers=d.remat_layers)
         self.v_inference_0 = nn.Dense(H)
         self.v_inference_2 = nn.Dense(cfg.num_atom_classes)
         self.atom_mlp_0 = nn.Dense(2 * H)
