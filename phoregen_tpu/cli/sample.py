@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--save_traj", action="store_true")
     p.add_argument("--save_pool", action="store_true",
                    help="dump raw sampled pools as <name>_samples_all.npz")
+    p.add_argument("--sample_steps", type=int, default=0,
+                   help="strided sampling: number of denoiser evaluations "
+                        "(0 = all T steps, the reference schedule)")
     p.add_argument("--unroll", type=int, default=1,
                    help="reverse-scan unroll factor (amortizes per-iteration "
                         "runtime overhead; higher = slower compile)")
@@ -112,7 +115,8 @@ def main(argv=None):
         sample_nodes_mode=args.sample_nodes_mode,
         normal_scale=args.normal_scale, add_edge=args.add_edge,
         batch_size=args.batch_size, keep_traj=args.save_traj,
-        seed=args.seed, unroll=args.unroll)
+        seed=args.seed, unroll=args.unroll,
+        sample_steps=args.sample_steps)
 
     os.makedirs(args.result_path, exist_ok=True)
     n_ok = n_fail = 0

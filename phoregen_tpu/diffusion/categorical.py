@@ -164,6 +164,18 @@ class CategoricalTransition:
         mask = _texp((t == 0).astype(kl_v.dtype), kl_v.ndim)
         return mask * decoder_nll + (1.0 - mask) * kl_v
 
+    def q_v_posterior_mats(self, log_v0: jnp.ndarray, log_vt: jnp.ndarray,
+                           trans_T: jnp.ndarray, cum_prev: jnp.ndarray,
+                           is_final: jnp.ndarray) -> jnp.ndarray:
+        """Posterior with explicit (possibly multi-step) [K,K] matrices
+        shared across the batch (strided sampling); `is_final` returns
+        log_v0 (the reference t==0 override)."""
+        fact1 = jnp.sum(jnp.exp(log_vt)[..., :, None] * trans_T, axis=-2)
+        fact2 = jnp.sum(jnp.exp(log_v0)[..., :, None] * cum_prev, axis=-2)
+        out = clamped_log(fact1) + clamped_log(fact2)
+        out = out - jax.nn.logsumexp(out, axis=-1, keepdims=True)
+        return jnp.where(is_final, log_v0, out)
+
     def sample_init(self, key: jax.Array, shape):
         """Sample v_T from the stationary prior over a [B, ...] grid."""
         logits = jnp.broadcast_to(self.init_logprob,
@@ -172,6 +184,50 @@ class CategoricalTransition:
         init_onehot = self.onehot_encode(init_types)
         log_vt = index_to_log_onehot(init_types, self.num_classes)
         return init_types, init_onehot, log_vt
+
+
+def build_strided_tables(betas: np.ndarray, num_classes: int,
+                         init_prob, timesteps: np.ndarray):
+    """Exact multi-step posterior tables for strided (DDIM-style) sampling.
+
+    timesteps: descending ints ending at 0, e.g. [999, 899, ..., 99, 0].
+    For each reverse step t_i -> t_{i+1} the posterior is
+        q(v_{t_prev} | v_t, v_0) ∝ (Q_{t_prev->t}^T v_t) ⊙ (Q̄_{t_prev} v_0)
+    with Q_{t_prev->t} = Π_{s=t_prev+1..t} Q_s — the same identity the
+    1-step reference posterior uses (`models/transition.py:285-315`),
+    evaluated over the strided interval, so striding is exact w.r.t. the
+    forward process (only the number of denoiser evaluations changes).
+
+    Returns (trans_T [S-1,K,K], cum_prev [S-1,K,K]) as float32 jnp arrays,
+    indexed by reverse-step i (step S-1, at t=0, uses the recon override and
+    needs no tables).
+    """
+    betas = np.asarray(betas, np.float64)
+    prob = build_init_prob(num_classes, init_prob)
+    one_step = []
+    for beta_t in betas:
+        mat = beta_t * np.repeat(prob[None, :], num_classes, axis=0)
+        mat = mat + np.eye(num_classes) * (1.0 - beta_t)
+        one_step.append(mat)
+    cum = [one_step[0]]
+    for t in range(1, len(betas)):
+        cum.append(cum[-1] @ one_step[t])
+
+    ts = np.asarray(timesteps, np.int64)
+    assert ts[-1] == 0 and (np.diff(ts) < 0).all(), \
+        "timesteps must descend to 0"
+    trans_T, cum_prev = [], []
+    for i in range(len(ts) - 1):
+        t, tp = int(ts[i]), int(ts[i + 1])
+        q = np.eye(num_classes)
+        for s in range(tp + 1, t + 1):
+            q = q @ one_step[s]
+        trans_T.append(q.T)
+        # Q̄_{t_prev}; t_prev == 0 -> one-step cumulative at 0 (matches the
+        # reference's q_mats[max(t-1, 0)] convention)
+        cum_prev.append(cum[tp] if tp > 0 else cum[0])
+    f32 = lambda a: jnp.asarray(np.stack(a), jnp.float32)
+    return f32(trans_T), f32(cum_prev)
 
 
 def _log_add_exp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -104,3 +104,44 @@ class GaussianTransition:
         if self.num_classes is not None:
             shape = tuple(shape) + (self.num_classes,)
         return jax.random.normal(key, tuple(shape), dtype=jnp.float32)
+
+    def get_prev_with(self, key: jax.Array, x_t: jnp.ndarray,
+                      x_recon: jnp.ndarray, coef_x0: jnp.ndarray,
+                      coef_xt: jnp.ndarray, std: jnp.ndarray,
+                      is_final: jnp.ndarray,
+                      energy_grad: jnp.ndarray | float = 0.0) -> jnp.ndarray:
+        """Reverse step with explicit per-step scalar coefficients (strided
+        sampling); `is_final` returns the mean (the reference t==0 case)."""
+        mu = coef_x0 * x_recon + coef_xt * x_t - energy_grad
+        noise = jax.random.normal(key, mu.shape, dtype=mu.dtype)
+        x_prev = mu + std * noise
+        return jnp.where(is_final, mu, x_prev)
+
+
+def build_gaussian_strided(betas: np.ndarray, timesteps: np.ndarray):
+    """Per-step posterior coefficients for strided sampling.
+
+    timesteps: descending ints ending at 0. For each reverse step
+    t_i -> t_{i+1}: q(x_{t_prev} | x_t, x_0) is the exact DDPM posterior over
+    the strided interval with ᾱ ratios replacing per-step α
+    (reduces to the reference 1-step coefficients when the stride is 1).
+    The final entry (t = 0) carries the reference's t==0 coefficients
+    (ᾱ_prev = 1) and is consumed with the mean-only override.
+
+    Returns (coef_x0, coef_xt, std) each [S] float32.
+    """
+    betas = np.asarray(betas, np.float64)
+    ab = np.cumprod(1.0 - betas)
+    ts = np.asarray(timesteps, np.int64)
+    assert ts[-1] == 0 and (np.diff(ts) < 0).all()
+    coef_x0, coef_xt, std = [], [], []
+    for i in range(len(ts)):
+        t = int(ts[i])
+        ab_t = ab[t]
+        ab_p = ab[int(ts[i + 1])] if i + 1 < len(ts) else 1.0  # t==0 step
+        ratio = ab_t / ab_p
+        coef_x0.append(np.sqrt(ab_p) * (1.0 - ratio) / (1.0 - ab_t))
+        coef_xt.append(np.sqrt(ratio) * (1.0 - ab_p) / (1.0 - ab_t))
+        std.append(np.sqrt((1.0 - ab_p) / (1.0 - ab_t) * (1.0 - ratio)))
+    f32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+    return f32(coef_x0), f32(coef_xt), f32(std)

@@ -71,6 +71,11 @@ class PhoreGen:
         edge_betas = get_beta_schedule(
             diff.diff_bond.beta_schedule, T, **diff.diff_bond.schedule_kwargs())
 
+        # host copies kept for strided-sampling table construction
+        self.pos_betas = np.asarray(pos_betas)
+        self.node_betas = np.asarray(node_betas)
+        self.edge_betas = np.asarray(edge_betas)
+
         self.pos_transition = GaussianTransition.create(pos_betas)
         if self.categorical_space == "discrete":
             self.node_transition = CategoricalTransition.create(

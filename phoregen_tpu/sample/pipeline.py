@@ -37,12 +37,12 @@ class GenerationPipeline:
                  sample_nodes_mode: str = "uniform", normal_scale: float = 4.0,
                  add_edge: str = "predicted", batch_size: int = 30,
                  keep_traj: bool = False, seed: int = 2024,
-                 unroll: int = 1):
+                 unroll: int = 1, sample_steps: int = 0):
         self.pg = pg
         self.params = params
         self.cfg = pg.config
         self.sampler = Sampler(pg, guidance=guidance, keep_traj=keep_traj,
-                               unroll=unroll)
+                               unroll=unroll, sample_steps=sample_steps)
         self.sample_nodes_mode = sample_nodes_mode
         self.normal_scale = normal_scale
         self.add_edge = add_edge

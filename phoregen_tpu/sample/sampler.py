@@ -72,10 +72,21 @@ class Sampler:
 
     def __init__(self, pg: PhoreGen,
                  guidance: Optional[Sequence[GuidanceOpt]] = None,
-                 keep_traj: bool = False, unroll: int = 1):
+                 keep_traj: bool = False, unroll: int = 1,
+                 sample_steps: int = 0):
         self.pg = pg
         self.guidance = tuple(guidance) if guidance else ()
         self.keep_traj = keep_traj
+        # Strided (DDIM-style) sampling: run S < T denoiser evaluations over
+        # an evenly-strided timestep subset with EXACT multi-step posteriors
+        # (see diffusion/{categorical,gaussian}.py strided builders). 0 or
+        # >= T means the full reference schedule. A framework extension —
+        # the reference always runs all T steps.
+        assert sample_steps == 0 or sample_steps >= 2, (
+            "sample_steps must be 0 (full schedule) or >= 2 (the schedule "
+            "needs the initial timestep and the final t=0 step)")
+        self.sample_steps = sample_steps
+        self._strided_cache = {}
         # Scan unroll factor. On real TPU the rolled loop is optimal (the
         # body compute is ~20 us/step and loop overhead is negligible).
         # Measured through this sandbox's tunneled runtime there is a
@@ -110,6 +121,40 @@ class Sampler:
             x = mid + std * np.asarray(jax.random.normal(key, (batch_size,)))
             return np.clip(np.round(x), lower, upper).astype(np.int32)
         raise NotImplementedError(mode)
+
+    # ----- strided schedule -----
+    def _schedule(self):
+        """(timesteps [S], node/edge (trans_T, cum_prev) [S,K,K] with an
+        identity pad at the final slot, gaussian (coef_x0, coef_xt, std) [S]).
+        Cached host-side per sample_steps value."""
+        pg = self.pg
+        T = pg.num_timesteps
+        S = self.sample_steps if 0 < self.sample_steps < T else T
+        if S in self._strided_cache:
+            return self._strided_cache[S]
+        from ..diffusion.categorical import build_strided_tables
+        from ..diffusion.gaussian import build_gaussian_strided
+
+        ts = np.unique(np.round(np.linspace(T - 1, 0, S)).astype(np.int64))
+        ts = ts[::-1].copy()                       # descending, ends at 0
+        diff = pg.config.model.diff
+        mcfg = pg.config.model
+
+        def cat_tables(betas, num_classes, init_prob):
+            trans_T, cum_prev = build_strided_tables(
+                betas, num_classes, init_prob, ts)
+            eye = jnp.eye(num_classes, dtype=jnp.float32)[None]
+            return (jnp.concatenate([trans_T, eye], 0),
+                    jnp.concatenate([cum_prev, eye], 0))
+
+        node_tabs = cat_tables(pg.node_betas, mcfg.num_atom_classes,
+                               diff.diff_atom.init_prob)
+        edge_tabs = cat_tables(pg.edge_betas, mcfg.num_bond_classes,
+                               diff.diff_bond.init_prob)
+        gauss = build_gaussian_strided(pg.pos_betas, ts)
+        out = (jnp.asarray(ts, jnp.int32), node_tabs, edge_tabs, gauss)
+        self._strided_cache[S] = out
+        return out
 
     # ----- the reverse loop -----
     def sample(self, params, key: jax.Array, batch: PhoreGraphBatch,
@@ -173,10 +218,18 @@ class Sampler:
                     e = e + center_prox_energy(pos, lmask, phore_center)
             return e
 
+        # (possibly strided) reverse schedule: per-step timesteps + exact
+        # multi-step posterior tables; full-T reproduces the reference
+        # 1-step tables exactly
+        ts_arr, (node_tT, node_cp), (edge_tT, edge_cp), \
+            (g_cx0, g_cxt, g_std) = self._schedule()
+        S = int(ts_arr.shape[0])
+
         def step(carry, i):
             key, pos_pert, node_ids, log_node_type, edge_ids, \
                 log_edge_type, _ = carry
-            step_t = T - 1 - i
+            step_t = ts_arr[i]
+            is_final = step_t == 0
             t = jnp.full((B,), step_t, jnp.int32)
             key, k_node, k_edge, k_pos = jax.random.split(key, 4)
 
@@ -195,16 +248,18 @@ class Sampler:
 
             # categorical posteriors + Gumbel sampling (float32)
             log_node_recon = jax.nn.log_softmax(pred_node, axis=-1)
-            log_node_type = pg.node_transition.q_v_posterior(
-                log_node_recon, log_node_type, t, v0_prob=True)
+            log_node_type = pg.node_transition.q_v_posterior_mats(
+                log_node_recon, log_node_type, node_tT[i], node_cp[i],
+                is_final)
             node_prev = log_sample_categorical(k_node, log_node_type
                                                ).astype(jnp.int8)
 
             edge_prev = edge_ids
             if mcfg.bond_diffusion:
                 log_edge_recon = jax.nn.log_softmax(pred_edge, axis=-1)
-                log_edge_type = pg.edge_transition.q_v_posterior(
-                    log_edge_recon, log_edge_type, t, v0_prob=True)
+                log_edge_type = pg.edge_transition.q_v_posterior_mats(
+                    log_edge_recon, log_edge_type, edge_tT[i], edge_cp[i],
+                    is_final)
                 edge_prev = log_sample_categorical(k_edge, log_edge_type
                                                    ).astype(jnp.int8)
 
@@ -214,8 +269,9 @@ class Sampler:
                 energy_grad = jax.grad(
                     lambda p: energy_fn(p, edge_prev))(pos_pert)
 
-            pos_prev = pg.pos_transition.get_prev_from_recon(
-                k_pos, pos_pert, pred_pos, t, energy_grad=energy_grad)
+            pos_prev = pg.pos_transition.get_prev_with(
+                k_pos, pos_pert, pred_pos, g_cx0[i], g_cxt[i], g_std[i],
+                is_final, energy_grad=energy_grad)
 
             if pred_edge is None:  # keep carry structure static
                 pred_edge = jnp.zeros((B, NL, NL, mcfg.num_bond_classes))
@@ -233,8 +289,8 @@ class Sampler:
                   jnp.zeros((B, NL, NL, mcfg.num_bond_classes)))
         carry0 = (k_scan, pos_init, node_init, log_node_init,
                   edge_init, log_edge_init, preds0)
-        carry, ys = jax.lax.scan(step, carry0, jnp.arange(T),
-                                 unroll=min(self.unroll, T))
+        carry, ys = jax.lax.scan(step, carry0, jnp.arange(S),
+                                 unroll=min(self.unroll, S))
         preds = carry[6]
         pred_node = preds[0]
         pred_pos = preds[1] + batch.center[:, None, :]

@@ -157,3 +157,58 @@ def test_uniform_transition_matches_matrix_form():
     p_uni = np.asarray(jnp.exp(uni.q_v_posterior(log_v0, log_vt, t)))
     p_mat = np.asarray(jnp.exp(mat.q_v_posterior(log_v0, log_vt, t)))
     np.testing.assert_allclose(p_uni, p_mat, atol=2e-3)
+
+
+def test_strided_tables_full_T_match_one_step():
+    """At stride 1 the strided tables equal the reference 1-step tables."""
+    import jax.numpy as jnp
+    import numpy as np
+    from phoregen_tpu.diffusion import CategoricalTransition
+    from phoregen_tpu.diffusion.categorical import build_strided_tables
+    from phoregen_tpu.diffusion.gaussian import (GaussianTransition,
+                                                 build_gaussian_strided)
+    from phoregen_tpu.ops.schedules import get_beta_schedule
+
+    K, T = 6, 16
+    betas = get_beta_schedule("linear", T, beta_start=1e-3, beta_end=0.2)
+    tr = CategoricalTransition.create(betas, K, "absorb")
+    ts = np.arange(T - 1, -1, -1)
+    trans_T, cum_prev = build_strided_tables(betas, K, "absorb", ts)
+    for i, t in enumerate(ts[:-1]):
+        np.testing.assert_allclose(np.asarray(trans_T[i]),
+                                   np.asarray(tr.transpose_q_onestep[t]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cum_prev[i]),
+                                   np.asarray(tr.q_mats[max(t - 1, 0)]),
+                                   atol=1e-6)
+    g = GaussianTransition.create(betas)
+    cx0, cxt, std = build_gaussian_strided(betas, ts)
+    for i, t in enumerate(ts):
+        np.testing.assert_allclose(float(cx0[i]), float(g.coef_x0[t]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(cxt[i]), float(g.coef_xt[t]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(std[i]), float(g.std[t]),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_strided_tables_compose():
+    """Multi-step transition equals the product of one-step transitions."""
+    import numpy as np
+    from phoregen_tpu.diffusion.categorical import (build_strided_tables,
+                                                    build_transition_mats)
+    from phoregen_tpu.ops.schedules import get_beta_schedule
+
+    K, T = 5, 12
+    betas = get_beta_schedule("linear", T, beta_start=1e-3, beta_end=0.2)
+    ts = np.asarray([11, 7, 3, 0])
+    trans_T, cum_prev = build_strided_tables(betas, K, "uniform", ts)
+    _, q_mats, tq1 = build_transition_mats(np.asarray(betas, np.float64),
+                                           K, "uniform")
+    one_step = np.transpose(tq1, (0, 2, 1))
+    # step 11 -> 7: product of one-steps 8..11
+    want = np.eye(K)
+    for s in range(8, 12):
+        want = want @ one_step[s]
+    np.testing.assert_allclose(np.asarray(trans_T[0]), want.T, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cum_prev[0]), q_mats[7], atol=1e-5)
