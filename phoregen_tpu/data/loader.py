@@ -77,10 +77,19 @@ class PhoreDataLoader:
         self.epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self.samples)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        """Exact batch count: batches form within bucket groups, so count per
+        group (shuffling permutes order, not group membership sizes)."""
+        counts = {}
+        for s in self.samples:
+            b = pick_bucket(s.n_atoms, self.buckets)
+            counts[b] = counts.get(b, 0) + 1
+        total = 0
+        for n in counts.values():
+            if self.drop_last:
+                total += n // self.batch_size
+            else:
+                total += (n + self.batch_size - 1) // self.batch_size
+        return total
 
     def _batch_indices(self, rng: np.random.Generator) -> List[np.ndarray]:
         order = np.arange(len(self.samples))

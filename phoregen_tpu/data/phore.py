@@ -122,9 +122,12 @@ def featurize_phore(phore: Phore, data_name: str = "zinc_300",
         mag = np.linalg.norm(raw_norm, axis=-1, keepdims=True)
         unit = np.where(mag > 0, raw_norm / np.where(mag == 0, 1, mag), 0.0)
     elif norm_mode == "legacy":
-        # treat stored norm as an absolute point; direction = norm - pos
-        # (zeros stay zero), reference `get_phore_data.py:163-168`
-        direction = raw_norm - np.where(raw_norm == 0, 0.0, pos)
+        # treat stored norm as an absolute point; direction = norm - pos,
+        # except all-zero norm rows (no-norm features) which stay zero
+        # (reference `get_phore_data.py:163-168`) — the row test must be
+        # per feature, not per component
+        has = ~np.all(raw_norm == 0, axis=-1, keepdims=True)
+        direction = np.where(has, raw_norm - pos, 0.0)
         mag = np.linalg.norm(direction, axis=-1, keepdims=True)
         unit = np.where(mag > 0, direction / np.where(mag == 0, 1, mag),
                         direction)

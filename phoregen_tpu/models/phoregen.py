@@ -135,10 +135,16 @@ class PhoreGen:
 
         t = self.sample_time(kt, B)
         pos_pert = self.pos_transition.add_noise(kpos, lig_pos, t)
-        h_node_pert, log_node_t, log_node_0 = self.node_transition.add_noise(
-            knode, batch.lig_type, t)
-        h_edge_pert, log_edge_t, log_edge_0 = self.edge_transition.add_noise(
-            kedge, batch.bond_type, t)
+        if self.categorical_space == "discrete":
+            h_node_pert, log_node_t, log_node_0 = \
+                self.node_transition.add_noise(knode, batch.lig_type, t)
+            h_edge_pert, log_edge_t, log_edge_0 = \
+                self.edge_transition.add_noise(kedge, batch.bond_type, t)
+        else:  # one-hot-relaxed Gaussian diffusion over categories
+            h_node_pert, h_node_0 = self.node_transition.add_noise(
+                knode, batch.lig_type, t)
+            h_edge_pert, h_edge_0 = self.edge_transition.add_noise(
+                kedge, batch.bond_type, t)
 
         pred_node, pred_pos, pred_edge, pred_count = self.net.apply(
             params, h_node_pert, pos_pert, batch.lig_mask, h_edge_pert, t,
@@ -153,26 +159,36 @@ class PhoreGen:
         sq = (pred_pos - lig_pos) ** 2
         loss_pos = masked_mean(sq, lmask[..., None]) * self.loss_weight[0]
 
-        # node/edge categorical KL (flat mean over valid entries)
-        log_node_recon = jax.nn.log_softmax(pred_node, axis=-1)
-        post_true = self.node_transition.q_v_posterior(
-            log_node_0, log_node_t, t, v0_prob=True)
-        post_pred = self.node_transition.q_v_posterior(
-            log_node_recon, log_node_t, t, v0_prob=True)
-        kl_node = self.node_transition.compute_v_Lt(
-            post_true, post_pred, log_node_0, t)
-        loss_node = masked_mean(kl_node, lmask) * self.loss_weight[1]
+        if self.categorical_space == "discrete":
+            # node/edge categorical KL (flat mean over valid entries)
+            log_node_recon = jax.nn.log_softmax(pred_node, axis=-1)
+            post_true = self.node_transition.q_v_posterior(
+                log_node_0, log_node_t, t, v0_prob=True)
+            post_pred = self.node_transition.q_v_posterior(
+                log_node_recon, log_node_t, t, v0_prob=True)
+            kl_node = self.node_transition.compute_v_Lt(
+                post_true, post_pred, log_node_0, t)
+            loss_node = masked_mean(kl_node, lmask) * self.loss_weight[1]
 
-        loss_edge = 0.0
-        if mcfg.bond_diffusion:
-            log_edge_recon = jax.nn.log_softmax(pred_edge, axis=-1)
-            epost_true = self.edge_transition.q_v_posterior(
-                log_edge_0, log_edge_t, t, v0_prob=True)
-            epost_pred = self.edge_transition.q_v_posterior(
-                log_edge_recon, log_edge_t, t, v0_prob=True)
-            kl_edge = self.edge_transition.compute_v_Lt(
-                epost_true, epost_pred, log_edge_0, t)
-            loss_edge = masked_mean(kl_edge, emask) * self.loss_weight[2]
+            loss_edge = 0.0
+            if mcfg.bond_diffusion:
+                log_edge_recon = jax.nn.log_softmax(pred_edge, axis=-1)
+                epost_true = self.edge_transition.q_v_posterior(
+                    log_edge_0, log_edge_t, t, v0_prob=True)
+                epost_pred = self.edge_transition.q_v_posterior(
+                    log_edge_recon, log_edge_t, t, v0_prob=True)
+                kl_edge = self.edge_transition.compute_v_Lt(
+                    epost_true, epost_pred, log_edge_0, t)
+                loss_edge = masked_mean(kl_edge, emask) * self.loss_weight[2]
+        else:
+            # continuous relaxation: MSE against the (scaled) one-hots x 30
+            # (reference models/diffusion.py:321-324)
+            loss_node = masked_mean((pred_node - h_node_0) ** 2,
+                                    lmask[..., None]) * 30.0
+            loss_edge = 0.0
+            if mcfg.bond_diffusion:
+                loss_edge = masked_mean((pred_edge - h_edge_0) ** 2,
+                                        emask[..., None]) * 30.0
 
         # optional bond-length loss over true bonds (reference :286-290)
         loss_len = 0.0

@@ -25,7 +25,7 @@ from ..data.batching import pad_sample, pick_bucket, collate, replicate_phore
 from ..data.phore import Phore, featurize_phore, parse_phore_file
 from ..models.phoregen import PhoreGen
 from .decode import decode_batch
-from .reconstruct import mol_is_connected, reconstruct_from_generated_with_edges
+from .reconstruct import reconstruct_from_generated_with_edges
 from .chem import MolReconsError, mol_to_smiles
 from .sampler import GuidanceOpt, Sampler
 from .writers import append_sdf, append_timing, write_sdf, write_smiles
@@ -87,8 +87,10 @@ class GenerationPipeline:
 
     # ----- one pool -----
     def sample_pool(self, phore_sample: Dict, n_graphs: int,
-                    lower: int, upper: int) -> List[Dict]:
-        """One compiled sampling batch -> decoded per-molecule dicts."""
+                    lower: int, upper: int
+                    ) -> Tuple[List[Dict], Dict]:
+        """One compiled sampling batch -> (decoded per-molecule dicts,
+        raw sampler output)."""
         ds = self.cfg.dataset
         counts = Sampler.sample_counts(
             self._next_key(), lower, upper, n_graphs,

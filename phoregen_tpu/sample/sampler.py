@@ -147,10 +147,14 @@ class Sampler:
             return (jnp.concatenate([trans_T, eye], 0),
                     jnp.concatenate([cum_prev, eye], 0))
 
-        node_tabs = cat_tables(pg.node_betas, mcfg.num_atom_classes,
-                               diff.diff_atom.init_prob)
-        edge_tabs = cat_tables(pg.edge_betas, mcfg.num_bond_classes,
-                               diff.diff_bond.init_prob)
+        if pg.categorical_space == "discrete":
+            node_tabs = cat_tables(pg.node_betas, mcfg.num_atom_classes,
+                                   diff.diff_atom.init_prob)
+            edge_tabs = cat_tables(pg.edge_betas, mcfg.num_bond_classes,
+                                   diff.diff_bond.init_prob)
+        else:  # continuous relaxation: Gaussian coefs per category channel
+            node_tabs = build_gaussian_strided(pg.node_betas, ts)
+            edge_tabs = build_gaussian_strided(pg.edge_betas, ts)
         gauss = build_gaussian_strided(pg.pos_betas, ts)
         out = (jnp.asarray(ts, jnp.int32), node_tabs, edge_tabs, gauss)
         self._strided_cache[S] = out
@@ -190,14 +194,23 @@ class Sampler:
         pos_init = pg.pos_transition.sample_init(k_init_pos, (B, NL, 3))
         if offset_init_by_center:
             pos_init = pos_init - batch.center[:, None, :]
-        node_init, _, log_node_init = pg.node_transition.sample_init(
-            k_init_node, (B, NL))
-        edge_init, _, log_edge_init = pg.edge_transition.sample_init(
-            k_init_edge, (B, NL, NL))
-        # slim carry: class ids (int8) instead of one-hots — the scan state
-        # is what the runtime stages every iteration, so keep it minimal
-        node_init = node_init.astype(jnp.int8)
-        edge_init = edge_init.astype(jnp.int8)
+        discrete = pg.categorical_space == "discrete"
+        if discrete:
+            node_init, _, log_node_init = pg.node_transition.sample_init(
+                k_init_node, (B, NL))
+            edge_init, _, log_edge_init = pg.edge_transition.sample_init(
+                k_init_edge, (B, NL, NL))
+            # slim carry: class ids (int8) instead of one-hots — the scan
+            # state is what the runtime stages every iteration
+            node_init = node_init.astype(jnp.int8)
+            edge_init = edge_init.astype(jnp.int8)
+        else:
+            # relaxed one-hot Gaussian state (reference continuous mode)
+            node_init = pg.node_transition.sample_init(k_init_node, (B, NL))
+            edge_init = pg.edge_transition.sample_init(k_init_edge,
+                                                       (B, NL, NL))
+            log_node_init = jnp.zeros_like(node_init)
+            log_edge_init = jnp.zeros_like(edge_init)
 
         # non-EX phore centroid for center_prox (uses raw phore features,
         # reference `models/diffusion.py:493-497`)
@@ -206,14 +219,17 @@ class Sampler:
 
         guidance = self.guidance
 
-        def energy_fn(pos, edge_ids):
+        def energy_fn(pos, edge_repr):
+            # edge_repr: int8 class ids (discrete) or relaxed one-hots
             e = 0.0
             for g in guidance:
                 if g.type == "atom_prox" and mcfg.bond_diffusion:
-                    e = e + atom_prox_energy(
-                        pos,
-                        jax.nn.one_hot(edge_ids, mcfg.num_bond_classes),
-                        bond_mask, lmask, g.min_d, g.max_d)
+                    h_edge = (jax.nn.one_hot(edge_repr,
+                                             mcfg.num_bond_classes)
+                              if jnp.issubdtype(edge_repr.dtype, jnp.integer)
+                              else edge_repr)
+                    e = e + atom_prox_energy(pos, h_edge, bond_mask, lmask,
+                                             g.min_d, g.max_d)
                 elif g.type == "center_prox":
                     e = e + center_prox_energy(pos, lmask, phore_center)
             return e
@@ -221,8 +237,15 @@ class Sampler:
         # (possibly strided) reverse schedule: per-step timesteps + exact
         # multi-step posterior tables; full-T reproduces the reference
         # 1-step tables exactly
-        ts_arr, (node_tT, node_cp), (edge_tT, edge_cp), \
-            (g_cx0, g_cxt, g_std) = self._schedule()
+        ts_arr, node_tabs, edge_tabs, (g_cx0, g_cxt, g_std) = \
+            self._schedule()
+        if discrete:
+            node_tT, node_cp = node_tabs
+            edge_tT, edge_cp = edge_tabs
+            node_tabs_std = edge_tabs_std = None
+        else:  # gaussian coefs (coef_x0, coef_xt, std) per category channel
+            node_tT, node_cp, node_tabs_std = node_tabs
+            edge_tT, edge_cp, edge_tabs_std = edge_tabs
         S = int(ts_arr.shape[0])
 
         def step(carry, i):
@@ -233,10 +256,14 @@ class Sampler:
             t = jnp.full((B,), step_t, jnp.int32)
             key, k_node, k_edge, k_pos = jax.random.split(key, 4)
 
-            h_node_pert = jax.nn.one_hot(node_ids, mcfg.num_atom_classes,
-                                         dtype=cdt)
-            h_edge_pert = jax.nn.one_hot(edge_ids, mcfg.num_bond_classes,
-                                         dtype=cdt)
+            if discrete:
+                h_node_pert = jax.nn.one_hot(node_ids, mcfg.num_atom_classes,
+                                             dtype=cdt)
+                h_edge_pert = jax.nn.one_hot(edge_ids, mcfg.num_bond_classes,
+                                             dtype=cdt)
+            else:
+                h_node_pert = node_ids.astype(cdt)
+                h_edge_pert = edge_ids.astype(cdt)
             pred_node, pred_pos, pred_edge, _ = pg.net.apply(
                 net_params, h_node_pert, pos_pert.astype(cdt), lmask,
                 h_edge_pert, t, phore_x_c, phore_pos_c, phore_norm_c,
@@ -246,22 +273,34 @@ class Sampler:
             if pred_edge is not None:
                 pred_edge = pred_edge.astype(jnp.float32)
 
-            # categorical posteriors + Gumbel sampling (float32)
-            log_node_recon = jax.nn.log_softmax(pred_node, axis=-1)
-            log_node_type = pg.node_transition.q_v_posterior_mats(
-                log_node_recon, log_node_type, node_tT[i], node_cp[i],
-                is_final)
-            node_prev = log_sample_categorical(k_node, log_node_type
-                                               ).astype(jnp.int8)
-
-            edge_prev = edge_ids
-            if mcfg.bond_diffusion:
-                log_edge_recon = jax.nn.log_softmax(pred_edge, axis=-1)
-                log_edge_type = pg.edge_transition.q_v_posterior_mats(
-                    log_edge_recon, log_edge_type, edge_tT[i], edge_cp[i],
+            if discrete:
+                # categorical posteriors + Gumbel sampling (float32)
+                log_node_recon = jax.nn.log_softmax(pred_node, axis=-1)
+                log_node_type = pg.node_transition.q_v_posterior_mats(
+                    log_node_recon, log_node_type, node_tT[i], node_cp[i],
                     is_final)
-                edge_prev = log_sample_categorical(k_edge, log_edge_type
+                node_prev = log_sample_categorical(k_node, log_node_type
                                                    ).astype(jnp.int8)
+
+                edge_prev = edge_ids
+                if mcfg.bond_diffusion:
+                    log_edge_recon = jax.nn.log_softmax(pred_edge, axis=-1)
+                    log_edge_type = pg.edge_transition.q_v_posterior_mats(
+                        log_edge_recon, log_edge_type, edge_tT[i], edge_cp[i],
+                        is_final)
+                    edge_prev = log_sample_categorical(k_edge, log_edge_type
+                                                       ).astype(jnp.int8)
+            else:
+                # continuous relaxation: Gaussian reverse step on the relaxed
+                # one-hots (reference models/diffusion.py:463-469)
+                node_prev = pg.node_transition.get_prev_with(
+                    k_node, node_ids.astype(jnp.float32), pred_node,
+                    node_tT[i], node_cp[i], node_tabs_std[i], is_final)
+                edge_prev = edge_ids
+                if mcfg.bond_diffusion:
+                    edge_prev = pg.edge_transition.get_prev_with(
+                        k_edge, edge_ids.astype(jnp.float32), pred_edge,
+                        edge_tT[i], edge_cp[i], edge_tabs_std[i], is_final)
 
             # validity guidance: d(energy)/d(x_t) subtracted from the mean
             energy_grad = 0.0
@@ -296,10 +335,13 @@ class Sampler:
         pred_pos = preds[1] + batch.center[:, None, :]
         pred_edge = preds[2] if mcfg.bond_diffusion else None
 
-        onehot_node = lambda ids: jax.nn.one_hot(
-            ids, mcfg.num_atom_classes, dtype=jnp.float32)
-        onehot_edge = lambda ids: jax.nn.one_hot(
-            ids, mcfg.num_bond_classes, dtype=jnp.float32)
+        if discrete:
+            onehot_node = lambda ids: jax.nn.one_hot(
+                ids, mcfg.num_atom_classes, dtype=jnp.float32)
+            onehot_edge = lambda ids: jax.nn.one_hot(
+                ids, mcfg.num_bond_classes, dtype=jnp.float32)
+        else:  # continuous: the carry already holds relaxed one-hots
+            onehot_node = onehot_edge = lambda h: h.astype(jnp.float32)
         result = {
             "pred_node": pred_node,      # [B, NL, Ka] logits at t=0
             "pred_pos": pred_pos,        # [B, NL, 3] x_recon + center

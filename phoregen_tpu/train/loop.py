@@ -127,9 +127,14 @@ class Run:
         cfg = self.config
         self.logger.start()
         loader.set_epoch(epoch)
-        # host-scalar seeds; the jitted step derives its PRNG key on-device
-        base = np.uint64(cfg.train.seed) * np.uint64(1000003) \
-            + np.uint64(epoch) * np.uint64(7919)
+        # host-scalar seeds; the jitted step derives its PRNG key on-device.
+        # splitmix-style mixing over (seed, epoch, mode, idx) — structured
+        # increments would collide across epochs on large datasets
+        mode_salt = np.uint64(0x9E3779B97F4A7C15 if mode == "train"
+                              else 0xC2B2AE3D27D4EB4F)
+        base = (np.uint64(cfg.train.seed) * np.uint64(0x100000001B3)
+                ^ (np.uint64(epoch) * np.uint64(0x9E3779B97F4A7C15))
+                ^ mode_salt)
         multi_host = jax.process_count() > 1
         if multi_host:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -148,7 +153,9 @@ class Run:
                 prof_active = False
                 self.logger.log("Profiler trace written to "
                                 f"{self.logger.run_dir}/profile")
-            seed = np.uint32((base + np.uint64(idx)) % np.uint64(2**32))
+            mixed = (base + np.uint64(idx)) * np.uint64(0xBF58476D1CE4E5B9)
+            seed = np.uint32((mixed ^ (mixed >> np.uint64(31)))
+                             & np.uint64(0xFFFFFFFF))
             if multi_host:
                 # assemble the global array from per-host batch slices
                 # (the loader yields only this process's rows)
@@ -160,14 +167,14 @@ class Run:
             else:
                 metrics = self.eval_step(self.state.params, seed, batch)
             self.logger.record(jax.device_get(metrics), mode=mode)
-        if prof_active:  # short epoch: close the trace cleanly
-            jax.profiler.stop_trace()
             if mode == "train" and idx and \
                     idx % cfg.train.n_report_steps == 0:
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 self.logger.log(
                     f"Epoch {epoch} batch {idx}/{len(loader)} "
                     f"loss {m['loss']:.2f} grad_norm {m['grad_norm']:.1f}")
+        if prof_active:  # short epoch: close the trace cleanly
+            jax.profiler.stop_trace()
         self.logger.summarize_epoch(mode)
 
     # ----- top-level train -----

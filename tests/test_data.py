@@ -167,3 +167,33 @@ def test_pz_dataset_roundtrip(tmp_path):
     loaded = pz_dataset(path, cfg)
     assert all(s.n_atoms <= 20 for s in loaded)
     assert 0 < len(loaded) < len(samples)  # filter applied
+
+
+def test_loader_len_with_uneven_buckets():
+    """len(loader) must equal the actual per-bucket batch count (review
+    finding: mixed bucket sizes not divisible by batch_size)."""
+    from phoregen_tpu.data.synthetic import synthetic_raw
+    cfg = small_config()
+    rng = np.random.default_rng(5)
+    samples = ([synthetic_raw(rng, n_atoms=10) for _ in range(15)]
+               + [synthetic_raw(rng, n_atoms=28) for _ in range(7)])
+    loader = PhoreDataLoader(samples, cfg, batch_size=4, shuffle=True, seed=3)
+    assert len(list(loader)) == len(loader)
+    loader2 = PhoreDataLoader(samples, cfg, batch_size=4, shuffle=False)
+    assert len(list(loader2)) == len(loader2)
+
+
+def test_legacy_norm_rowwise():
+    """Legacy norm mode must treat all-zero rows (no norm) per feature, not
+    per component (review finding)."""
+    text = ("t\n"
+            "HD\t0.7\t1\t1\t1.0\t2.0\t3.0\t1\t0.0\t5.0\t5.0\t0\t1\n"
+            "HA\t0.7\t1\t1\t1.0\t1.0\t1.0\t0\t0.0\t0.0\t0.0\t0\t1\n"
+            "$$$$\n")
+    phore = parse_phore_text(text, name="t")
+    _, pos, norm, _ = featurize_phore(phore, "zinc_300", norm_mode="legacy")
+    # direction = (0,5,5) - (1,2,3) = (-1,3,2), normalized
+    want = np.asarray([-1.0, 3.0, 2.0])
+    want = want / np.linalg.norm(want)
+    np.testing.assert_allclose(norm[0], want, atol=1e-6)
+    np.testing.assert_allclose(norm[1], 0.0)  # all-zero norm stays zero

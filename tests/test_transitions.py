@@ -212,3 +212,33 @@ def test_strided_tables_compose():
         want = want @ one_step[s]
     np.testing.assert_allclose(np.asarray(trans_T[0]), want.T, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cum_prev[0]), q_mats[7], atol=1e-5)
+
+
+def test_continuous_categorical_space_end_to_end():
+    """categorical_space='continuous' (relaxed one-hot Gaussian diffusion,
+    reference models/diffusion.py:94,116-135,321-324,463-469): loss and
+    sampler both run and produce finite outputs."""
+    import jax
+    import numpy as np
+    from phoregen_tpu.models.phoregen import PhoreGen
+    from phoregen_tpu.sample.sampler import Sampler
+    from tests.test_models import make_batch
+    from tests.test_train import tiny_config
+
+    cfg = tiny_config()
+    cfg.model.diff.categorical_space = "continuous"
+    pg = PhoreGen(cfg)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng)
+    params = pg.init_params(jax.random.PRNGKey(0), batch)
+    loss, aux = jax.jit(lambda p, k, b: pg.compute_loss(p, k, b))(
+        params, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(loss))
+    assert "loss_edge" in aux
+
+    sampler = Sampler(pg, sample_steps=4)
+    out = jax.jit(lambda p, k, b: sampler.sample(p, k, b))(
+        params, jax.random.PRNGKey(2), batch)
+    assert np.isfinite(np.asarray(out["pred_node"])).all()
+    assert np.isfinite(np.asarray(out["pred_pos"])).all()
+    assert np.isfinite(np.asarray(out["final_state"]["h_node"])).all()
