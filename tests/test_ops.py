@@ -1,0 +1,79 @@
+"""Unit tests for the masked-op and kNN primitives and the host decoder."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phoregen_tpu.ops.knn import knn_neighbors, radius_neighbors
+from phoregen_tpu.ops.masked import (masked_mean, masked_softmax,
+                                     log_sample_categorical)
+from phoregen_tpu.sample.decode import decode_batch
+
+
+def test_knn_neighbors_masked():
+    # 4 points on a line, last one padded
+    pos = jnp.asarray([[[0., 0, 0], [1., 0, 0], [3., 0, 0], [99., 0, 0]]])
+    mask = jnp.asarray([[True, True, True, False]])
+    idx, m = knn_neighbors(pos, mask, k=2)
+    idx, m = np.asarray(idx), np.asarray(m)
+    # node 0's nearest valid neighbours: 1 then 2; padded node never appears
+    assert idx[0, 0, 0] == 1 and idx[0, 0, 1] == 2
+    assert m[0, 0].all()
+    assert not m[0, 3].any()          # padded node has no valid edges
+    assert (idx[0, :3] != 3).all()    # nobody selects the padded node
+    # self never selected
+    for i in range(3):
+        assert (idx[0, i] != i).all()
+
+
+def test_radius_neighbors_cutoff():
+    pos = jnp.asarray([[[0., 0, 0], [1., 0, 0], [5., 0, 0]]])
+    mask = jnp.ones((1, 3), bool)
+    idx, m = radius_neighbors(pos, mask, k=2, r=2.0)
+    m = np.asarray(m)
+    assert m[0, 0, 0] and not m[0, 0, 1]  # node 0: 1 within r, 5 outside
+
+
+def test_masked_softmax_empty_rows():
+    scores = jnp.zeros((2, 3))
+    mask = jnp.asarray([[True, True, False], [False, False, False]])
+    a = np.asarray(masked_softmax(scores, mask, axis=1))
+    np.testing.assert_allclose(a[0], [0.5, 0.5, 0.0], atol=1e-6)
+    np.testing.assert_allclose(a[1], 0.0)  # empty segment -> zeros
+
+
+def test_masked_mean_empty():
+    x = jnp.ones((2, 3))
+    mask = jnp.asarray([[True, False, True], [False, False, False]])
+    m = np.asarray(masked_mean(x, mask, axis=1))
+    assert m[0] == pytest.approx(1.0)
+    assert m[1] == pytest.approx(0.0)
+
+
+def test_gumbel_sampling_distribution():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.log(jnp.asarray([[0.8, 0.15, 0.05]]))
+    draws = jax.vmap(lambda k: log_sample_categorical(k, logits))(
+        jax.random.split(key, 2000))
+    freq = np.bincount(np.asarray(draws).ravel(), minlength=3) / 2000
+    np.testing.assert_allclose(freq, [0.8, 0.15, 0.05], atol=0.05)
+
+
+def test_decode_batch_reindexing():
+    """Mask-class atoms are dropped with bond indices remapped
+    (reference decode_data, utils/sample_utils.py:96-132)."""
+    Ka, Kb, NL = 12, 6, 4
+    atom_type = np.asarray([1, 11, 2, 0])  # slot 1 = mask class -> dropped
+    node = np.eye(Ka)[atom_type][None]
+    pos = np.arange(NL * 3).reshape(1, NL, 3).astype(float)
+    etype = np.zeros((NL, NL), int)
+    etype[0, 2] = etype[2, 0] = 1     # survives, remaps 2 -> 1
+    etype[0, 1] = etype[1, 0] = 2     # touches dropped atom -> removed
+    etype[2, 3] = etype[3, 2] = 5     # mask bond class -> removed
+    edge = np.eye(Kb)[etype][None]
+    lig_mask = np.asarray([[True, True, True, True]])
+    out = decode_batch(node, pos, edge, lig_mask)[0]
+    assert out["element"] == [6, 7, 5]  # classes 1,2,0 -> C,N,B
+    bi = np.asarray(out["bond_index"])
+    assert sorted(map(tuple, bi.T)) == [(0, 1), (1, 0)]
+    assert list(out["bond_type"]) == [1, 1]
