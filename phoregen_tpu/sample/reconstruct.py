@@ -137,6 +137,27 @@ def fix_aromatic(mol, strict=False):
     return mol, fixed
 
 
+def _perceive_with_openbabel(atomic_nums, xyz):
+    """Bond perception via OpenBabel (gated); returns an RDKit Mol with
+    perceived bonds or None. Behavioral stand-in for the reference's liGAN
+    connect-the-dots pipeline using OB's native perception."""
+    from openbabel import openbabel as ob
+    obmol = ob.OBMol()
+    obmol.BeginModify()
+    for z, p in zip(atomic_nums, np.asarray(xyz)):
+        a = obmol.NewAtom()
+        a.SetAtomicNum(int(z))
+        a.SetVector(float(p[0]), float(p[1]), float(p[2]))
+    obmol.ConnectTheDots()
+    obmol.PerceiveBondOrders()
+    obmol.EndModify()
+    conv = ob.OBConversion()
+    conv.SetOutFormat("mol")
+    block = conv.WriteString(obmol)
+    mol = Chem.MolFromMolBlock(block, sanitize=False, removeHs=False)
+    return mol
+
+
 def _reconstruct_rdkit(mol_info: Dict, add_edge: str, check_validity: bool):
     atomic_nums = mol_info["element"]
     xyz = np.asarray(mol_info["atom_pos"])
@@ -150,7 +171,22 @@ def _reconstruct_rdkit(mol_info: Dict, add_edge: str, check_validity: bool):
         bond_index = np.asarray(bond_index).reshape(2, -1)
         bond_type = np.asarray(bond_type)
     elif add_edge == "openbabel":
-        raise MolReconsError("openbabel backend not available")
+        # liGAN-style perception (reference `utils/sample_utils.py:168-769`
+        # `make_obmol`/`connect_the_dots`): OpenBabel's ConnectTheDots +
+        # PerceiveBondOrders, converted back to RDKit via molblock.
+        if not HAVE_OPENBABEL:
+            raise MolReconsError("openbabel backend not available")
+        mol_ob = _perceive_with_openbabel(atomic_nums, xyz)
+        if mol_ob is None:
+            raise MolReconsError("openbabel perception failed")
+        bonds = [(b.GetBeginAtomIdx(), b.GetEndAtomIdx(),
+                  b.GetBondTypeAsDouble()) for b in mol_ob.GetBonds()]
+        bond_index = np.asarray(
+            [[i for i, j, _ in bonds] + [j for i, j, _ in bonds],
+             [j for i, j, _ in bonds] + [i for i, j, _ in bonds]],
+            np.int64).reshape(2, -1)
+        bond_type = np.asarray(
+            [4 if o == 1.5 else int(o) for _, _, o in bonds] * 2, np.int64)
     else:
         raise ValueError(f"Invalid add_edge mode: {add_edge}")
 
