@@ -102,7 +102,17 @@ def main(argv=None):
     params = pg.init_params(jax.random.PRNGKey(0), example)
     state, _ = load_checkpoint(args.ckpt, create_train_state(cfg.train,
                                                              params))
-    params = state.ema_params if args.use_ema else state.params
+    if args.use_ema:
+        ema_on = bool(meta.get("config", {}).get("train", {}).get("ema",
+                                                                  False))
+        if not ema_on:
+            raise SystemExit(
+                "[E] --use_ema: this checkpoint was trained with "
+                "train.ema=false, so its EMA shadow is the untrained init "
+                "copy. Re-run without --use_ema (or retrain with ema=true).")
+        params = state.ema_params
+    else:
+        params = state.params
     print(f"[I] Loaded checkpoint {args.ckpt} (epoch {meta.get('epoch')})")
 
     guidance = None

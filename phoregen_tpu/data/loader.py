@@ -91,7 +91,9 @@ class PhoreDataLoader:
                 total += (n + self.batch_size - 1) // self.batch_size
         return total
 
-    def _batch_indices(self, rng: np.random.Generator) -> List[np.ndarray]:
+    def _batch_indices(self, rng: np.random.Generator) -> List[tuple]:
+        """Returns (indices, real_size) pairs; real_size < batch_size marks a
+        cycled tail batch whose metrics must be down-weighted."""
         order = np.arange(len(self.samples))
         if self.shuffle:
             rng.shuffle(order)
@@ -104,14 +106,15 @@ class PhoreDataLoader:
         for b, idxs in by_bucket.items():
             for s in range(0, len(idxs), self.batch_size):
                 chunk = idxs[s:s + self.batch_size]
-                if len(chunk) < self.batch_size:
+                real = len(chunk)
+                if real < self.batch_size:
                     if self.drop_last:
                         continue
                     # pad the tail batch by cycling (static shape preserved);
-                    # callers can down-weight via the returned mask if needed
-                    chunk = (chunk * ((self.batch_size // len(chunk)) + 1)
+                    # the real size rides along so eval means stay exact
+                    chunk = (chunk * ((self.batch_size // real) + 1)
                              )[:self.batch_size]
-                batches.append(np.asarray(chunk))
+                batches.append((np.asarray(chunk), real))
         if self.shuffle:
             rng.shuffle(batches)
         return batches
@@ -134,14 +137,21 @@ class PhoreDataLoader:
         return collate(padded)
 
     def __iter__(self) -> Iterator[PhoreGraphBatch]:
-        """Yields batches; under multi-host SPMD every process computes the
-        same global order (seeded) and assembles only its slice of each
-        batch (the `DistributedSampler` replacement, SURVEY.md §2.7)."""
+        for batch, _ in self.iter_with_sizes():
+            yield batch
+
+    def iter_with_sizes(self) -> Iterator[tuple]:
+        """Yields (batch, real_size); real_size < batch_size only for a
+        cycled tail batch (duplicates must not skew per-epoch means — the
+        reference's exact mean comes from variable last batches,
+        `run/logger.py:255-260`). Under multi-host SPMD every process
+        computes the same global order (seeded) and assembles only its slice
+        of each batch (the `DistributedSampler` replacement, SURVEY.md §2.7)."""
         import jax
         rng = np.random.default_rng(self.seed + self.epoch)
         n_proc = jax.process_count()
-        for idxs in self._batch_indices(rng):
+        for idxs, real in self._batch_indices(rng):
             if n_proc > 1:
                 from ..parallel.mesh import local_batch_slice
                 idxs = idxs[local_batch_slice(len(idxs))]
-            yield self._assemble(idxs, rng)
+            yield self._assemble(idxs, rng), real

@@ -37,14 +37,27 @@ class _BondTables(ctypes.Structure):
     ]
 
 
+def _src_hash() -> str:
+    import hashlib
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> bool:
-    if os.path.exists(_SO) and \
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return True
+    # rebuild keyed on a content hash of the source (mtimes are not
+    # preserved by git, so a stale committed binary could shadow new source)
+    stamp = _SO + ".sha256"
+    want = _src_hash()
+    if os.path.exists(_SO) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == want:
+                return True
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
             check=True, capture_output=True, timeout=120)
+        with open(stamp, "w") as f:
+            f.write(want)
         return True
     except Exception as e:  # pragma: no cover - no compiler
         global _load_error
@@ -68,7 +81,7 @@ def _dense_tables():
                                                  1 if s2 == "H" else None)
                 if z2 is None:
                     continue
-                arr[z1, z2] = pm
+                arr[z1, z2] = max(arr[z1, z2], float(pm))
                 arr[z2, z1] = max(arr[z2, z1], float(pm))
         return np.ascontiguousarray(arr.reshape(-1))
 

@@ -79,16 +79,22 @@ class MetricLogger:
         self.epoch = epoch
         self._records = {"train": [], "valid": []}
 
-    def record(self, metrics: Dict[str, Any], mode: str):
-        self._records.setdefault(mode, []).append(
-            {k: float(np.asarray(v)) for k, v in metrics.items()})
+    def record(self, metrics: Dict[str, Any], mode: str,
+               weight: float = 1.0):
+        """`weight` down-weights a cycled tail batch (its duplicates would
+        otherwise skew the epoch mean vs the reference's exact mean)."""
+        row = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        row["_weight"] = float(weight)
+        self._records.setdefault(mode, []).append(row)
 
     def summarize_epoch(self, mode: str) -> Dict[str, float]:
         rows = self._records.get(mode, [])
         if not rows:
             return {}
-        keys = rows[0].keys()
-        summary = {k: float(np.mean([r[k] for r in rows])) for k in keys}
+        keys = [k for k in rows[0].keys() if k != "_weight"]
+        w = np.asarray([r["_weight"] for r in rows])
+        summary = {k: float(np.average([r[k] for r in rows], weights=w))
+                   for k in keys}
         summary["time_cost"] = time.time() - self._t0
         summary["lr"] = self.lr
         summary["epoch"] = self.epoch
@@ -101,10 +107,12 @@ class MetricLogger:
         return summary
 
     def update_best(self) -> bool:
-        """Track best valid loss; returns True when this epoch is a new best."""
-        if not self.history["valid"]:
+        """Track best valid loss (train loss when no valid split exists);
+        returns True when this epoch is a new best."""
+        rows = self.history["valid"] or self.history["train"]
+        if not rows:
             return False
-        v = self.history["valid"][-1].get("loss", float("inf"))
+        v = rows[-1].get("loss", float("inf"))
         if v < self.best_valid:
             self.best_valid = v
             self.best_epoch = self.epoch

@@ -32,6 +32,21 @@ from .state import TrainState, create_train_state, get_learning_rate, \
 from .step import make_eval_step, make_train_step
 
 
+def mix_step_seed(seed: int, epoch: int, mode: str, idx: int) -> np.uint32:
+    """splitmix-style host-scalar seed for one step: mixes (run seed, epoch,
+    train/valid mode, batch index) so no two steps of a run collide.
+    uint64 wraparound is intentional (masked from numpy's overflow warning)."""
+    with np.errstate(over="ignore"):
+        mode_salt = np.uint64(0x9E3779B97F4A7C15 if mode == "train"
+                              else 0xC2B2AE3D27D4EB4F)
+        base = (np.uint64(seed) * np.uint64(0x100000001B3)
+                ^ (np.uint64(epoch) * np.uint64(0x9E3779B97F4A7C15))
+                ^ mode_salt)
+        mixed = (base + np.uint64(idx)) * np.uint64(0xBF58476D1CE4E5B9)
+        return np.uint32((mixed ^ (mixed >> np.uint64(31)))
+                         & np.uint64(0xFFFFFFFF))
+
+
 class PlateauScheduler:
     """ReduceLROnPlateau(min): factor, patience, min_lr — host-side
     (reference `utils/training_utils.py:73-83`)."""
@@ -130,11 +145,6 @@ class Run:
         # host-scalar seeds; the jitted step derives its PRNG key on-device.
         # splitmix-style mixing over (seed, epoch, mode, idx) — structured
         # increments would collide across epochs on large datasets
-        mode_salt = np.uint64(0x9E3779B97F4A7C15 if mode == "train"
-                              else 0xC2B2AE3D27D4EB4F)
-        base = (np.uint64(cfg.train.seed) * np.uint64(0x100000001B3)
-                ^ (np.uint64(epoch) * np.uint64(0x9E3779B97F4A7C15))
-                ^ mode_salt)
         multi_host = jax.process_count() > 1
         if multi_host:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -143,7 +153,7 @@ class Run:
         prof_n = cfg.logger.profile_steps if (
             mode == "train" and epoch == 0) else 0
         prof_active = False
-        for idx, batch in enumerate(loader):
+        for idx, (batch, real_size) in enumerate(loader.iter_with_sizes()):
             if prof_n and idx == 1:
                 jax.profiler.start_trace(
                     os.path.join(self.logger.run_dir, "profile"))
@@ -153,9 +163,7 @@ class Run:
                 prof_active = False
                 self.logger.log("Profiler trace written to "
                                 f"{self.logger.run_dir}/profile")
-            mixed = (base + np.uint64(idx)) * np.uint64(0xBF58476D1CE4E5B9)
-            seed = np.uint32((mixed ^ (mixed >> np.uint64(31)))
-                             & np.uint64(0xFFFFFFFF))
+            seed = mix_step_seed(cfg.train.seed, epoch, mode, idx)
             if multi_host:
                 # assemble the global array from per-host batch slices
                 # (the loader yields only this process's rows)
@@ -166,7 +174,8 @@ class Run:
                 self.state, metrics = self.train_step(self.state, seed, batch)
             else:
                 metrics = self.eval_step(self.state.params, seed, batch)
-            self.logger.record(jax.device_get(metrics), mode=mode)
+            self.logger.record(jax.device_get(metrics), mode=mode,
+                               weight=real_size / loader.batch_size)
             if mode == "train" and idx and \
                     idx % cfg.train.n_report_steps == 0:
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
@@ -190,22 +199,31 @@ class Run:
             valid_samples, cfg, cfg.train.batch_size, shuffle=False,
             augment=False)
 
+        have_valid = len(valid_loader) > 0
+        if not have_valid:
+            self.logger.log("validation set is empty: best-checkpoint and "
+                            "plateau scheduling fall back to train loss", "W")
+
         if self.state is None:
-            example = next(iter(valid_loader))
+            src = valid_loader if have_valid else train_loader
+            example = next(iter(src))
             self.init_state(example)
 
         for epoch in range(self.logger.start_epoch, epochs):
             self.logger.add_new_epoch(epoch)
             self.logger.lr = get_learning_rate(self.state.opt_state)
             self.run_on_epoch(train_loader, "train", epoch)
-            self.run_on_epoch(valid_loader, "valid", epoch)
+            if have_valid:
+                self.run_on_epoch(valid_loader, "valid", epoch)
 
             is_best = self.logger.update_best()
             self.save(epoch, is_best)
             self.logger.flush_history()
 
-            # plateau schedule on validation loss (reference run/run.py:40-41)
-            valid_loss = self.logger.history["valid"][-1]["loss"]
+            # plateau schedule on validation loss (reference run/run.py:40-41);
+            # train loss when no validation split is configured
+            src_hist = self.logger.history["valid" if have_valid else "train"]
+            valid_loss = src_hist[-1]["loss"]
             new_lr = self.scheduler.step(valid_loss)
             if abs(new_lr - get_learning_rate(self.state.opt_state)) > 1e-12:
                 self.state = self.state.replace(opt_state=set_learning_rate(

@@ -162,3 +162,62 @@ def test_run_epoch_loop_end_to_end(tmp_path):
     assert run2.logger.start_epoch == 2
     hist2 = run2.train(train, valid, epochs=3)
     assert len(hist2["train"]) == 3
+
+
+def test_mix_step_seed_unique_and_silent():
+    """Seed mixing: no numpy overflow warnings, no collisions across a
+    realistic (epoch, mode, idx) grid (VERDICT r1 hygiene item)."""
+    import warnings
+    from phoregen_tpu.train.loop import mix_step_seed
+    seen = set()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning -> failure
+        for epoch in range(20):
+            for mode in ("train", "valid"):
+                for idx in range(50):
+                    seen.add(int(mix_step_seed(2024, epoch, mode, idx)))
+    assert len(seen) == 20 * 2 * 50
+
+
+def test_tail_batch_weighting():
+    """iter_with_sizes reports the real size of a cycled tail batch, and the
+    logger's weighted mean equals the exact per-sample mean (ADVICE r1)."""
+    from phoregen_tpu.train.logger import MetricLogger
+    cfg = tiny_config()
+    # 11 samples, batch 8 -> one full batch + one tail of 3 (cycled to 8)
+    loader = PhoreDataLoader(synthetic_dataset(5, 11, max_atoms=12), cfg,
+                             cfg.train.batch_size, shuffle=False,
+                             drop_last=False)
+    sizes = [real for _, real in loader.iter_with_sizes()]
+    assert sorted(sizes) == [3, 8]
+    assert len(loader) == 2
+
+    cfg.logger.tensorboard = False
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        cfg.logger.result = d
+        log = MetricLogger(cfg, run_dir=d)
+        log.add_new_epoch(0)
+        log.record({"loss": 1.0}, "valid", weight=8 / 8)
+        log.record({"loss": 2.0}, "valid", weight=3 / 8)
+        s = log.summarize_epoch("valid")
+    # exact mean over 11 samples: (8*1 + 3*2) / 11
+    assert s["loss"] == pytest.approx((8 * 1.0 + 3 * 2.0) / 11)
+    assert "_weight" not in s
+
+
+def test_train_only_no_valid_split(tmp_path):
+    """Run.train with an empty validation set must not crash: init example
+    comes from the train loader, best/plateau fall back to train loss
+    (ADVICE r1 medium)."""
+    cfg = tiny_config()
+    cfg.logger.result = str(tmp_path)
+    cfg.logger.run_name = "novalid"
+    cfg.logger.tensorboard = False
+    cfg.train.num_devices = 8
+    run = Run(cfg)
+    hist = run.train(synthetic_dataset(6, 16, max_atoms=12), [], epochs=1)
+    assert len(hist["train"]) == 1 and hist["valid"] == []
+    assert np.isfinite(hist["train"][-1]["loss"])
+    run_dir = os.path.join(str(tmp_path), "novalid")
+    assert os.path.exists(os.path.join(run_dir, "best_model.msgpack"))
