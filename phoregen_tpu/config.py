@@ -95,9 +95,12 @@ class DenoiserConfig:
     h_node_in_bond_net: bool = True
     direction_match: bool = True
     use_global_ew: bool = True
-    # TPU-specific: use the Pallas triplet-attention kernel for the bond layer
-    # instead of the pure-XLA dense form.
-    use_pallas_triplet: bool = False
+    # TPU-specific: use the fused Pallas triplet-attention kernel for the
+    # bond layer (nothing O(NL^3)-sized reaches HBM; backward runs the XLA
+    # path via custom_vjp). Default on — it dispatches to the kernel only on
+    # a real TPU backend and to the XLA form elsewhere. Matches float64 math
+    # to ~2e-6 max-abs (scripts/drift_triplet.py).
+    use_pallas_triplet: bool = True
     # TPU-specific triplet-layer mode: 'factorized' (width-Wt per-triplet
     # features, the fast default) or 'dense' (full hidden-width per-triplet
     # MLPs, the exact-width reference analogue). See BondUpdateTriplet.

@@ -302,8 +302,11 @@ class BondUpdateTriplet(nn.Module):
         # dot[j,k,i] = rel[j,i] . rel[k,i]
         dot = jnp.einsum("bjic,bkic->bjki", rel, rel)         # [B,j,k,i]
         nsq = jnp.sum(rel * rel, axis=-1)                      # [B,x,i]
+        from ..ops.pallas_triplet import CROSS_SQ_EPS
         cross_sq = nsq[:, :, None, :] * nsq[:, None, :, :] - dot * dot
-        cross = jnp.sqrt(jnp.clip(cross_sq, 0.0, None))
+        # CROSS_SQ_EPS clamp: degenerate triplets otherwise NaN the position
+        # gradient (see ops/pallas_triplet.py)
+        cross = jnp.sqrt(jnp.clip(cross_sq, CROSS_SQ_EPS, None))
         angle = jnp.arctan2(cross, dot)                        # [B,j,k,i]
         a_feat = angular_encoding(angle, freq_bands)           # [B,j,k,i,13]
         ang_dim = a_feat.shape[-1]
@@ -432,7 +435,8 @@ class BondUpdateTriplet(nn.Module):
         the memory/FLOPs — the lever that makes 64/80-atom buckets cheap.
         """
         from ..ops.knn import knn_neighbors
-        from ..ops.pallas_triplet import LN_EPS, NEG_INF, _angle_encode
+        from ..ops.pallas_triplet import (CROSS_SQ_EPS, LN_EPS, NEG_INF,
+                                          _angle_encode)
 
         B, N, _, Wt = a_kj.shape
         heads = q.shape[-2]
@@ -453,7 +457,7 @@ class BondUpdateTriplet(nn.Module):
         njsq = jnp.sum(rel_ji * rel_ji, -1)                    # [B, j, i]
         nksq = jnp.sum(rel_ki * rel_ki, -1)                    # [B, j, K, i]
         cross = jnp.sqrt(jnp.clip(
-            njsq[:, :, None, :] * nksq - dot * dot, 0.0, None))
+            njsq[:, :, None, :] * nksq - dot * dot, CROSS_SQ_EPS, None))
         angle = jnp.arctan2(cross, dot)                        # [B, j, K, i]
         a_ang = _angle_encode(angle, freq) @ w_ang             # [B, j, K, i, Wt]
 

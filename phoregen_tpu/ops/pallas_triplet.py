@@ -33,6 +33,12 @@ from .rbf import angular_encoding_freq_bands
 
 LN_EPS = 1e-6
 NEG_INF = -1e9
+# lower clamp for |j-i x k-i|^2 before the sqrt: at degenerate triplets
+# (k==i, or exactly collinear atoms) cross_sq is exactly 0 and both
+# d(sqrt)/dx -> inf and d(atan2)/d(0,0) -> NaN would poison the position
+# gradient through jnp.where (NaN * 0 = NaN). The clamp keeps every
+# gradient finite; masked lanes are then genuinely zeroed by the masking.
+CROSS_SQ_EPS = 1e-12
 
 
 def _angle_encode(angle: jnp.ndarray, freq_bands: jnp.ndarray) -> jnp.ndarray:
@@ -41,11 +47,25 @@ def _angle_encode(angle: jnp.ndarray, freq_bands: jnp.ndarray) -> jnp.ndarray:
                             jnp.cos(a * freq_bands)], axis=-1)
 
 
+def _rsqrt_refined(x):
+    """One Newton step over the hardware rsqrt: TPU fast-math rsqrt is only
+    ~1e-4 relative; the refinement brings it to ~f32 roundoff for free
+    (2 mul + 1 fma on the VPU)."""
+    r = jax.lax.rsqrt(x)
+    return r * (1.5 - 0.5 * x * r * r)
+
+
+def _recip_refined(x):
+    """Newton-refined reciprocal (TPU fast-math division is approximate)."""
+    r = 1.0 / x
+    return r * (2.0 - x * r)
+
+
 def _pre_activate(pre, ln_scale, ln_bias, act, norm):
     if norm:
         mu = jnp.mean(pre, axis=-1, keepdims=True)
         var = jnp.mean((pre - mu) ** 2, axis=-1, keepdims=True)
-        pre = (pre - mu) * jax.lax.rsqrt(var + LN_EPS) * ln_scale + ln_bias
+        pre = (pre - mu) * _rsqrt_refined(var + LN_EPS) * ln_scale + ln_bias
     return act(pre)
 
 
@@ -64,19 +84,26 @@ def triplet_pool_xla(a_kj, a_ji, q, pos, mask, w_ang, ln_scale, ln_bias,
     freq = jnp.asarray(angular_encoding_freq_bands(num_ang_funcs),
                        a_kj.dtype)
 
+    # HIGHEST precision throughout: this path is the correctness reference
+    # (CPU tests / parity checks); on TPU the default bf16 MXU passes were
+    # the real source of the round-1 0.037 "kernel drift"
+    hi = jax.lax.Precision.HIGHEST
     rel = pos[:, :, None, :] - pos[:, None, :, :]          # rel[x,i] = x - i
-    dot = jnp.einsum("bjic,bkic->bjki", rel, rel)
+    dot = jnp.einsum("bjic,bkic->bjki", rel, rel, precision=hi)
     nsq = jnp.sum(rel * rel, axis=-1)
     cross = jnp.sqrt(jnp.clip(
-        nsq[:, :, None, :] * nsq[:, None, :, :] - dot * dot, 0.0, None))
+        nsq[:, :, None, :] * nsq[:, None, :, :] - dot * dot,
+        CROSS_SQ_EPS, None))
     angle = jnp.arctan2(cross, dot)                        # [B,j,k,i]
-    a_ang = _angle_encode(angle, freq) @ w_ang             # [B,j,k,i,Wt]
+    a_ang = jnp.einsum("bjkia,aw->bjkiw", _angle_encode(angle, freq),
+                       w_ang, precision=hi)                # [B,j,k,i,Wt]
 
     pre = (a_kj[:, :, :, None, :] + a_ji[:, None, :, :, :]
            + a_ang.transpose(0, 2, 1, 3, 4))               # [B,k,j,i,Wt]
     pre = _pre_activate(pre, ln_scale, ln_bias, act, norm)
 
-    scores = jnp.einsum("bkjiw,bjihw->bkjih", pre, q) / np.sqrt(Wt)
+    scores = jnp.einsum("bkjiw,bjihw->bkjih", pre, q,
+                        precision=hi) / np.sqrt(Wt)
 
     m = mask
     valid = (m[:, :, None, None] & m[:, None, :, None] & m[:, None, None, :])
@@ -90,7 +117,7 @@ def triplet_pool_xla(a_kj, a_ji, q, pos, mask, w_ang, ln_scale, ln_bias,
     e = jnp.exp(scores - jax.lax.stop_gradient(smax)) * tri[..., None]
     alpha = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
 
-    pooled = jnp.einsum("bkjih,bkjiw->bjihw", alpha, pre)
+    pooled = jnp.einsum("bkjih,bkjiw->bjihw", alpha, pre, precision=hi)
     return pooled.reshape(B, N, N, heads * Wt)
 
 
@@ -103,7 +130,7 @@ def _atan2_nonneg(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     ax = jnp.abs(x)
     mx = jnp.maximum(y, ax)
     mn = jnp.minimum(y, ax)
-    z = mn / jnp.maximum(mx, 1e-30)
+    z = mn * _recip_refined(jnp.maximum(mx, 1e-30))
     t = z * z
     # 6-coefficient minimax for atan on [0, 1] (max err ~1e-6 rad)
     p = z * (0.99997726 + t * (-0.33262347 + t * (0.19354346 + t * (
@@ -143,17 +170,23 @@ def _kernel(a_kj_ref, a_ji_ref, q_ref, pos_ref, mask_ref, w_ang_ref,
     dot = jnp.sum(vk * vj[None, :, :], axis=-1)              # [k, i]
     njsq = jnp.sum(vj * vj, axis=-1)      # [i]
     nksq = jnp.sum(vk * vk, axis=-1)      # [k, i]
-    cross = jnp.sqrt(jnp.clip(njsq[None, :] * nksq - dot * dot, 0.0, None))
+    cross = jnp.sqrt(jnp.clip(njsq[None, :] * nksq - dot * dot,
+                              CROSS_SQ_EPS, None))
     angle = _atan2_nonneg(cross, dot)     # [k, i], in [0, pi]
 
     enc = jnp.concatenate(
         [angle[..., None]]
         + [jnp.sin(angle * f)[..., None] for f in bands]
         + [jnp.cos(angle * f)[..., None] for f in bands], axis=-1)  # [k,i,A]
+    # HIGHEST: default MXU precision truncates f32 inputs to bf16 passes,
+    # which was the bulk of the round-1 "kernel drift" (it was actually in
+    # both paths' matmuls); this contraction is tiny (13 x Wt) so exact
+    # passes are free
     a_ang = jax.lax.dot_general(
         enc.reshape(N * N, -1), w_ang_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(N, N, Wt)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).reshape(N, N, Wt)
 
     pre = akj[:, None, :] + aji[None, :, :] + a_ang        # [k, i, Wt]
     pre = _pre_activate(pre, ln_s_ref[:], ln_b_ref[:], act, norm)
@@ -172,7 +205,8 @@ def _kernel(a_kj_ref, a_ji_ref, q_ref, pos_ref, mask_ref, w_ang_ref,
         s = jnp.where(tri, s, NEG_INF)
         smax = jnp.max(s, axis=0, keepdims=True)
         e = jnp.exp(s - smax) * tri.astype(jnp.float32)
-        alpha = e / jnp.maximum(jnp.sum(e, axis=0, keepdims=True), 1e-30)
+        alpha = e * _recip_refined(
+            jnp.maximum(jnp.sum(e, axis=0, keepdims=True), 1e-30))
         pooled_h = jnp.sum(alpha[:, :, None] * pre, axis=0)  # [i, Wt]
         out_ref[0, 0, hd] = pooled_h.astype(out_ref.dtype)
 
@@ -219,14 +253,49 @@ def triplet_pool_pallas(a_kj, a_ji, q, pos, mask, w_ang, ln_scale, ln_bias,
     return out.transpose(0, 1, 3, 2, 4).reshape(B, N, N, heads * Wt)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _triplet_pool_pallas_ad(act, norm, num_ang_funcs, a_kj, a_ji, q, pos,
+                            mask, w_ang, ln_scale, ln_bias):
+    """Differentiable wrapper: Pallas kernel forward, XLA-path VJP backward.
+
+    The backward pass rebuilds the O(N^3) XLA graph from the O(N^2)
+    residual inputs (a rematerialization — same backward memory/compute as
+    the pure-XLA path, while the forward stays fused in VMEM). This is what
+    lets `use_pallas_triplet` be the production default for training too."""
+    return triplet_pool_pallas(a_kj, a_ji, q, pos, mask, w_ang, ln_scale,
+                               ln_bias, act, norm, num_ang_funcs)
+
+
+def _pallas_ad_fwd(act, norm, num_ang_funcs, a_kj, a_ji, q, pos, mask,
+                   w_ang, ln_scale, ln_bias):
+    out = triplet_pool_pallas(a_kj, a_ji, q, pos, mask, w_ang, ln_scale,
+                              ln_bias, act, norm, num_ang_funcs)
+    return out, (a_kj, a_ji, q, pos, mask, w_ang, ln_scale, ln_bias)
+
+
+def _pallas_ad_bwd(act, norm, num_ang_funcs, res, g):
+    a_kj, a_ji, q, pos, mask, w_ang, ln_scale, ln_bias = res
+    _, vjp = jax.vjp(
+        lambda akj, aji, qq, pp, wa, ls, lb: triplet_pool_xla(
+            akj, aji, qq, pp, mask, wa, ls, lb, act=act, norm=norm,
+            num_ang_funcs=num_ang_funcs),
+        a_kj, a_ji, q, pos, w_ang, ln_scale, ln_bias)
+    d = vjp(g)
+    zero_mask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return (*d[:4], zero_mask, *d[4:])
+
+
+_triplet_pool_pallas_ad.defvjp(_pallas_ad_fwd, _pallas_ad_bwd)
+
+
 def triplet_pool(a_kj, a_ji, q, pos, mask, w_ang, ln_scale, ln_bias,
                  act: Callable, norm: bool, num_ang_funcs: int = 3,
                  use_pallas: bool = False):
-    """Dispatch: Pallas on TPU (interpret elsewhere) or the XLA reference."""
-    if not use_pallas:
+    """Dispatch: fused Pallas kernel on TPU (with the XLA-path VJP), the
+    XLA reference elsewhere. Both agree with float64 math to ~2e-6 max-abs
+    (scripts/drift_triplet.py)."""
+    if not use_pallas or jax.default_backend() != "tpu":
         return triplet_pool_xla(a_kj, a_ji, q, pos, mask, w_ang, ln_scale,
                                 ln_bias, act, norm, num_ang_funcs)
-    interpret = jax.default_backend() != "tpu"
-    return triplet_pool_pallas(a_kj, a_ji, q, pos, mask, w_ang, ln_scale,
-                               ln_bias, act, norm, num_ang_funcs,
-                               interpret=interpret)
+    return _triplet_pool_pallas_ad(act, norm, num_ang_funcs, a_kj, a_ji, q,
+                                   pos, mask, w_ang, ln_scale, ln_bias)

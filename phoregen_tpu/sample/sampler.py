@@ -248,11 +248,14 @@ class Sampler:
             edge_tT, edge_cp, edge_tabs_std = edge_tabs
         S = int(ts_arr.shape[0])
 
-        def step(carry, i):
+        def step_core(carry, i, is_final: bool):
+            """One reverse step. `is_final` is STATIC: the t=0 step runs once
+            outside the scan, so the in-scan body is branch-free and the
+            per-iteration carry/output staging excludes the preds triple
+            (round-2 throughput: smaller per-iteration staged set)."""
             key, pos_pert, node_ids, log_node_type, edge_ids, \
-                log_edge_type, _ = carry
+                log_edge_type = carry
             step_t = ts_arr[i]
-            is_final = step_t == 0
             t = jnp.full((B,), step_t, jnp.int32)
             key, k_node, k_edge, k_pos = jax.random.split(key, 4)
 
@@ -312,28 +315,29 @@ class Sampler:
                 k_pos, pos_pert, pred_pos, g_cx0[i], g_cxt[i], g_std[i],
                 is_final, energy_grad=energy_grad)
 
-            if pred_edge is None:  # keep carry structure static
-                pred_edge = jnp.zeros((B, NL, NL, mcfg.num_bond_classes))
             carry = (key, pos_prev, node_prev, log_node_type,
-                     edge_prev, log_edge_type,
-                     (pred_node, pred_pos, pred_edge))
+                     edge_prev, log_edge_type)
+            return carry, (pred_node, pred_pos, pred_edge)
+
+        def step(carry, i):
+            carry, _ = step_core(carry, i, is_final=False)
             ys = None
             if self.keep_traj:
-                ys = (node_prev, pos_prev + batch.center[:, None, :],
-                      edge_prev)
+                ys = (carry[2], carry[1] + batch.center[:, None, :],
+                      carry[4])
             return carry, ys
 
-        preds0 = (jnp.zeros((B, NL, mcfg.num_atom_classes)),
-                  jnp.zeros((B, NL, 3)),
-                  jnp.zeros((B, NL, NL, mcfg.num_bond_classes)))
         carry0 = (k_scan, pos_init, node_init, log_node_init,
-                  edge_init, log_edge_init, preds0)
-        carry, ys = jax.lax.scan(step, carry0, jnp.arange(S),
-                                 unroll=min(self.unroll, S))
-        preds = carry[6]
-        pred_node = preds[0]
-        pred_pos = preds[1] + batch.center[:, None, :]
-        pred_edge = preds[2] if mcfg.bond_diffusion else None
+                  edge_init, log_edge_init)
+        # steps [0, S-1) in the scan; the t=0 step runs once outside so the
+        # final preds triple never rides the per-iteration state
+        carry, ys = jax.lax.scan(step, carry0, jnp.arange(S - 1),
+                                 unroll=min(self.unroll, max(S - 1, 1)))
+        carry, (pred_node, pred_pos, pred_edge) = step_core(
+            carry, S - 1, is_final=True)
+        pred_pos = pred_pos + batch.center[:, None, :]
+        if not mcfg.bond_diffusion:
+            pred_edge = None
 
         if discrete:
             onehot_node = lambda ids: jax.nn.one_hot(
@@ -353,13 +357,17 @@ class Sampler:
                 "h_edge": onehot_edge(carry[4]),
             },
         }
-        ys = ys if self.keep_traj else None
         if self.keep_traj:
-            # trajectories as class ids (host decodes per frame)
+            # trajectories as class ids (host decodes per frame); the final
+            # t=0 state ran outside the scan, so append it explicitly
+            fin = result["final_state"]
             result["traj"] = {
-                "node": jnp.concatenate([node_init[None], ys[0]], 0),
+                "node": jnp.concatenate(
+                    [node_init[None], ys[0], carry[2][None]], 0),
                 "pos": jnp.concatenate(
-                    [(pos_init + batch.center[:, None, :])[None], ys[1]], 0),
-                "edge": jnp.concatenate([edge_init[None], ys[2]], 0),
+                    [(pos_init + batch.center[:, None, :])[None], ys[1],
+                     fin["pos"][None]], 0),
+                "edge": jnp.concatenate(
+                    [edge_init[None], ys[2], carry[4][None]], 0),
             }
         return result

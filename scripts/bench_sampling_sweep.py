@@ -1,0 +1,91 @@
+"""Sampling-throughput sweep on the TPU: pallas x triplet_knn x batch.
+
+Round-2 lever hunt (VERDICT item 1): measures molecules/sec/chip for the
+1000-step sampler under candidate configs so the fastest *defensible* one
+can be promoted into bench.py. Run directly on the relay TPU.
+
+Usage: python scripts/bench_sampling_sweep.py [--configs name1,name2]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax
+import numpy as np
+
+CONFIGS = {
+    # name: (use_pallas, triplet_knn, batch, compute_dtype)
+    "exact_xla": (False, 0, 16, "float32"),
+    "exact_pallas": (True, 0, 16, "float32"),
+    "knn16": (False, 16, 16, "float32"),
+    "knn8": (False, 8, 16, "float32"),
+    "exact_pallas_bf16": (True, 0, 16, "bfloat16"),
+    "knn16_bf16": (False, 16, 16, "bfloat16"),
+}
+
+
+def bench_one(name, use_pallas, knn, batch_size, dtype, n_iters=2):
+    from phoregen_tpu.config import default_config
+    from phoregen_tpu.data.loader import PhoreDataLoader
+    from phoregen_tpu.data.synthetic import synthetic_dataset
+    from phoregen_tpu.models.phoregen import PhoreGen
+    from phoregen_tpu.sample.sampler import Sampler
+
+    cfg = default_config("zinc_300")
+    cfg.dataset.ligand_buckets = [32]
+    cfg.dataset.max_phore = 32
+    cfg.model.denoiser.use_pallas_triplet = use_pallas
+    cfg.model.denoiser.triplet_knn = knn
+    cfg.model.compute_dtype = dtype
+
+    pg = PhoreGen(cfg)
+    samples = synthetic_dataset(0, batch_size, max_atoms=30)
+    loader = PhoreDataLoader(samples, cfg, batch_size, shuffle=False)
+    batch = next(iter(loader))
+    key = jax.random.PRNGKey(0)
+    params = pg.init_params(key, batch)
+    sampler = Sampler(pg)
+    run = jax.jit(lambda p, k, b: sampler.sample(p, k, b))
+
+    t0 = time.perf_counter()
+    out = run(params, key, batch)
+    jax.block_until_ready(out)
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = run(params, jax.random.PRNGKey(i + 1), batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+    ok = bool(np.isfinite(np.asarray(out["pred_pos"])).all())
+    print(json.dumps({
+        "config": name, "mol_per_sec": round(batch_size / dt, 3),
+        "sec_per_batch": round(dt, 2), "batch": batch_size,
+        "compile_s": round(t_compile, 1), "finite": ok,
+    }), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=",".join(CONFIGS))
+    ap.add_argument("--iters", type=int, default=2)
+    args = ap.parse_args()
+    print(f"backend: {jax.default_backend()}", flush=True)
+    for name in args.configs.split(","):
+        use_pallas, knn, b, dt = CONFIGS[name]
+        try:
+            bench_one(name, use_pallas, knn, b, dt, args.iters)
+        except Exception as e:
+            print(json.dumps({"config": name,
+                              "error": repr(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
