@@ -1,0 +1,364 @@
+"""liGAN-style geometric bond perception, toolkit-free.
+
+Parity target: the reference's `--add_edge openbabel` pipeline
+(`utils/sample_utils.py:227-380,521-720`, itself derived from liGAN
+fitting.py): `connect_the_dots` (distance bonding + valence-capped
+geometric pruning), OpenBabel bond-order perception, the
+aromatic-ring majority rule, and the hypervalency downgrades of
+`convert_ob_mol_to_rd_mol`.
+
+This implementation runs WITHOUT OpenBabel (absent in many images): the
+same algorithmic steps are re-derived over plain numpy arrays + element
+tables, so mode-`openbabel` reconstruction works hermetically and is unit
+tested against known geometries. When OpenBabel is importable the caller
+may still prefer it (`reconstruct._perceive_with_openbabel`); this module
+is the behavioral reference either way.
+
+Pipeline (mirrors `reconstruct_from_generated`,
+`utils/sample_utils.py:706-769`):
+1. bond every atom pair with 0.01 < d < maxbond (=2 A in the reference
+   call) — single bonds;
+2. cap per-atom max bonds at min(OB GetMaxBonds, RDKit default valence),
+   sulfone exception S(>=2 O neighbours) -> 6; drop bonds between two
+   max-1 atoms;
+3. prune geometrically poor bonds most-stretched-first (stretch =
+   d - rcov_i - rcov_j > 0.45, or a <45 deg angle at either end), never
+   disconnecting the molecule (reachability check without that bond);
+4. perceive bond orders: hybridization from average bond angles, then
+   upgrade the shortest relative-length bonds to double/triple where both
+   ends have free valence and the EDM length tables allow it;
+5. aromatic rings: 5/6-rings whose sp2-carbon majority rule fires are
+   marked aromatic (bond type 4), mirroring the reference's ring loop;
+6. hypervalency repair: downgrade the longest double/triple bonds while
+   an endpoint exceeds its default valence.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..constants import ELEMENT_SYMBOLS
+
+# min(OpenBabel GetMaxBonds, RDKit GetDefaultValence) per element — the
+# reference's atom_maxb (`utils/sample_utils.py:264-270`)
+MAX_BONDS: Dict[str, int] = {
+    "H": 1, "B": 3, "C": 4, "N": 3, "O": 2, "F": 1,
+    "Si": 4, "P": 3, "S": 2, "Cl": 1, "Br": 1, "I": 1,
+}
+# typical neutral valence ceilings for order perception (S/P expanded
+# octets allowed, as OB perception does)
+MAX_VALENCE: Dict[str, int] = {
+    "H": 1, "B": 3, "C": 4, "N": 3, "O": 2, "F": 1,
+    "Si": 4, "P": 5, "S": 6, "Cl": 1, "Br": 1, "I": 1,
+}
+# single-bond covalent radii (Angstrom), OB-compatible values
+COVALENT_RADIUS: Dict[str, float] = {
+    "H": 0.31, "B": 0.84, "C": 0.76, "N": 0.71, "O": 0.66, "F": 0.57,
+    "Si": 1.11, "P": 1.07, "S": 1.05, "Cl": 1.02, "Br": 1.20, "I": 1.39,
+}
+
+STRETCH_CUT = 0.45      # reference `utils/sample_utils.py:337`
+ANGLE_CUT_DEG = 45.0    # reference `forms_small_angle` cutoff
+
+
+def _symbols(atomic_nums: Sequence[int]) -> List[str]:
+    return [ELEMENT_SYMBOLS.get(int(z), "C") for z in atomic_nums]
+
+
+def _adjacency(n: int, bonds: Dict[Tuple[int, int], int]
+               ) -> List[Set[int]]:
+    adj: List[Set[int]] = [set() for _ in range(n)]
+    for (i, j) in bonds:
+        adj[i].add(j)
+        adj[j].add(i)
+    return adj
+
+
+def _reachable_without(adj: List[Set[int]], a: int, b: int) -> bool:
+    """True if b is reachable from a without using the a-b bond
+    (reference `reachable`, `utils/sample_utils.py:180-200`)."""
+    if len(adj[a]) == 1 or len(adj[b]) == 1:
+        return False
+    stack = [x for x in adj[a] if x != b]
+    seen = {a}
+    while stack:
+        x = stack.pop()
+        if x == b:
+            return True
+        if x in seen:
+            continue
+        seen.add(x)
+        stack.extend(y for y in adj[x] if y not in seen)
+    return False
+
+
+def _forms_small_angle(pos: np.ndarray, adj: List[Set[int]], a: int,
+                       b: int) -> bool:
+    """<45 deg angle nbr-a-b for some neighbour of a (reference
+    `forms_small_angle`)."""
+    v1 = pos[b] - pos[a]
+    n1 = np.linalg.norm(v1)
+    if n1 < 1e-9:
+        return False
+    for nbr in adj[a]:
+        if nbr == b:
+            continue
+        v2 = pos[nbr] - pos[a]
+        n2 = np.linalg.norm(v2)
+        if n2 < 1e-9:
+            continue
+        cosang = float(np.dot(v1, v2) / (n1 * n2))
+        ang = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
+        if ang < ANGLE_CUT_DEG:
+            return True
+    return False
+
+
+def connect_the_dots(atomic_nums: Sequence[int], pos: np.ndarray,
+                     maxbond: float = 2.0) -> Dict[Tuple[int, int], int]:
+    """Steps 1-3: distance bonding + valence caps + geometric pruning.
+
+    Returns {(i, j) i<j: order} with all orders 1.
+    """
+    n = len(atomic_nums)
+    pos = np.asarray(pos, np.float64)
+    syms = _symbols(atomic_nums)
+    if n == 0:
+        return {}
+    d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
+
+    bonds: Dict[Tuple[int, int], int] = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if 0.01 < d[i, j] < maxbond:
+                bonds[(i, j)] = 1
+
+    # per-atom max-bond caps incl. the sulfone exception
+    adj = _adjacency(n, bonds)
+    maxb = np.array([MAX_BONDS.get(s, 4) for s in syms])
+    for i, s in enumerate(syms):
+        if s == "S" and sum(1 for x in adj[i] if syms[x] == "O") >= 2:
+            maxb[i] = 6
+
+    # drop impossible bonds between two 1-bond atoms (e.g. halogen pairs)
+    for (i, j) in [k for k in bonds if maxb[k[0]] == 1 and maxb[k[1]] == 1]:
+        del bonds[(i, j)]
+
+    # geometric pruning, most-stretched first; never disconnect
+    rcov = np.array([COVALENT_RADIUS.get(s, 0.76) for s in syms])
+    binfo = sorted(bonds, key=lambda k: (d[k] - rcov[k[0]] - rcov[k[1]],
+                                         d[k]), reverse=True)
+    adj = _adjacency(n, bonds)
+    for (i, j) in binfo:
+        stretch = d[i, j] - rcov[i] - rcov[j]
+        if stretch > STRETCH_CUT or _forms_small_angle(pos, adj, i, j) \
+                or _forms_small_angle(pos, adj, j, i):
+            if not _reachable_without(adj, i, j):
+                continue
+            del bonds[(i, j)]
+            adj[i].discard(j)
+            adj[j].discard(i)
+    return bonds
+
+
+def _hybridizations(pos: np.ndarray, adj: List[Set[int]]) -> np.ndarray:
+    """1=sp, 2=sp2, 3=sp3 from the average bond angle at each atom
+    (the geometric rule OpenBabel's perception uses): >155 deg -> sp,
+    >115 deg -> sp2, else sp3. Degree<=1 atoms are unconstrained (0)."""
+    n = len(adj)
+    hyb = np.zeros(n, np.int32)
+    for a in range(n):
+        nbrs = sorted(adj[a])
+        if len(nbrs) < 2:
+            continue
+        angles = []
+        for u in range(len(nbrs)):
+            for v in range(u + 1, len(nbrs)):
+                v1 = pos[nbrs[u]] - pos[a]
+                v2 = pos[nbrs[v]] - pos[a]
+                nn = np.linalg.norm(v1) * np.linalg.norm(v2)
+                if nn < 1e-12:
+                    continue
+                c = float(np.dot(v1, v2) / nn)
+                angles.append(np.degrees(np.arccos(np.clip(c, -1, 1))))
+        if not angles:
+            continue
+        avg = float(np.mean(angles))
+        hyb[a] = 1 if avg > 155.0 else (2 if avg > 115.0 else 3)
+    return hyb
+
+
+def _order_length_limit(sym_i: str, sym_j: str, order: int) -> float:
+    """Max length (A) for a double/triple bond between two elements, from
+    the EDM tables shared with `predict_bonds` (pm -> A, + margin)."""
+    from .predict_bonds import BONDS2, BONDS3, MARGIN2, MARGIN3
+    table, margin = (BONDS2, MARGIN2) if order == 2 else (BONDS3, MARGIN3)
+    s1, s2 = sorted((sym_i, sym_j))
+    pm = table.get(s1, {}).get(s2)
+    if pm is None:
+        return -1.0  # this pair cannot form the order
+    return (pm + margin) / 100.0
+
+
+def perceive_bond_orders(atomic_nums: Sequence[int], pos: np.ndarray,
+                         bonds: Dict[Tuple[int, int], int]
+                         ) -> Dict[Tuple[int, int], int]:
+    """Step 4: upgrade single bonds to double/triple, shortest
+    relative-length first, respecting free valence, hybridization and the
+    EDM length windows."""
+    n = len(atomic_nums)
+    pos = np.asarray(pos, np.float64)
+    syms = _symbols(atomic_nums)
+    adj = _adjacency(n, bonds)
+    hyb = _hybridizations(pos, adj)
+    rcov = np.array([COVALENT_RADIUS.get(s, 0.76) for s in syms])
+    free = np.array([MAX_VALENCE.get(s, 4) for s in syms], np.float64)
+    for (i, j), o in bonds.items():
+        free[i] -= o
+        free[j] -= o
+
+    bonds = dict(bonds)
+    d = {k: float(np.linalg.norm(pos[k[0]] - pos[k[1]])) for k in bonds}
+    # shortest relative length first — these are the most double-like
+    order_q = sorted(bonds, key=lambda k: d[k] / (rcov[k[0]] + rcov[k[1]]))
+
+    def hyb_allows(a: int, want: int) -> bool:
+        # degree-1 atoms carry no angle information: unconstrained
+        if hyb[a] == 0:
+            return True
+        return hyb[a] <= (2 if want == 2 else 1)
+
+    for (i, j) in order_q:
+        # triple first where the geometry is linear and very short
+        for want in (3, 2):
+            need = want - bonds[(i, j)]
+            if need <= 0:
+                continue
+            if free[i] < need or free[j] < need:
+                continue
+            if not (hyb_allows(i, want) and hyb_allows(j, want)):
+                continue
+            lim = _order_length_limit(syms[i], syms[j], want)
+            if lim < 0 or d[(i, j)] > lim:
+                continue
+            bonds[(i, j)] = want
+            free[i] -= need
+            free[j] -= need
+            break
+    return bonds
+
+
+def _rings_5_6(adj: List[Set[int]]) -> List[List[int]]:
+    """All simple cycles of length 5 or 6 (deduplicated), via bounded DFS.
+    Molecules here are <= ~80 atoms with degree <= 4, so this is cheap."""
+    n = len(adj)
+    rings: Set[Tuple[int, ...]] = set()
+
+    def dfs(start: int, node: int, path: List[int]):
+        if len(path) > 6:
+            return
+        for nxt in adj[node]:
+            if nxt == start and len(path) >= 5:
+                key = tuple(sorted(path))
+                rings.add(key)
+            elif nxt not in path and nxt > start and len(path) < 6:
+                dfs(start, nxt, path + [nxt])
+
+    for s in range(n):
+        dfs(s, s, [s])
+    # recover cyclic order lazily: store the sorted key plus membership is
+    # enough for the aromatic rule (it only needs the member set)
+    return [list(r) for r in rings]
+
+
+def mark_aromatic_rings(atomic_nums: Sequence[int], pos: np.ndarray,
+                        bonds: Dict[Tuple[int, int], int]
+                        ) -> Dict[Tuple[int, int], int]:
+    """Steps 5: the reference's majority rule
+    (`utils/sample_utils.py:738-760`) — in a 5/6-ring, if at least half of
+    the carbons look aromatic (sp2 with an in-ring double bond after
+    perception), mark the whole ring aromatic; bonds between two aromatic
+    atoms become aromatic (type 4)."""
+    n = len(atomic_nums)
+    syms = _symbols(atomic_nums)
+    adj = _adjacency(n, bonds)
+    hyb = _hybridizations(np.asarray(pos, np.float64), adj)
+
+    # "aromatic-looking" carbon: sp2 and participating in a double bond
+    has_double = np.zeros(n, bool)
+    for (i, j), o in bonds.items():
+        if o == 2:
+            has_double[i] = has_double[j] = True
+
+    aromatic_atom = np.zeros(n, bool)
+    for ring in _rings_5_6(adj):
+        # the member set must form a cycle within the ring (each member has
+        # >= 2 neighbours inside the ring)
+        rs = set(ring)
+        if not all(len(adj[a] & rs) >= 2 for a in ring):
+            continue
+        carbons = [a for a in ring if syms[a] == "C"]
+        if not carbons:
+            continue
+        arom_c = [a for a in carbons if hyb[a] == 2 and has_double[a]]
+        # every ring member must be planar-capable (sp2 or unconstrained)
+        if any(hyb[a] == 3 for a in ring):
+            continue
+        if len(arom_c) >= len(carbons) / 2 and len(arom_c) > 0:
+            for a in ring:
+                aromatic_atom[a] = True
+
+    out = dict(bonds)
+    for (i, j), o in bonds.items():
+        if aromatic_atom[i] and aromatic_atom[j]:
+            out[(i, j)] = 4
+    return out
+
+
+def downgrade_hypervalent(atomic_nums: Sequence[int], pos: np.ndarray,
+                          bonds: Dict[Tuple[int, int], int]
+                          ) -> Dict[Tuple[int, int], int]:
+    """Step 6: while an endpoint of a double/triple bond exceeds its
+    default valence, decrement that bond's order, longest bonds first
+    (reference `convert_ob_mol_to_rd_mol`, `utils/sample_utils.py:567-586`)."""
+    n = len(atomic_nums)
+    syms = _symbols(atomic_nums)
+    pos = np.asarray(pos, np.float64)
+    bonds = dict(bonds)
+
+    def valence(a: int) -> float:
+        tot = 0.0
+        for (i, j), o in bonds.items():
+            if a in (i, j):
+                tot += 1.5 if o == 4 else o
+        return tot
+
+    default = {s: {"S": 6, "P": 5}.get(s, MAX_VALENCE.get(s, 4))
+               for s in set(syms)}
+    nonsingle = [k for k, o in bonds.items() if o in (2, 3)]
+    nonsingle.sort(key=lambda k: -float(np.linalg.norm(pos[k[0]]
+                                                       - pos[k[1]])))
+    for (i, j) in nonsingle:
+        if valence(i) > default[syms[i]] or valence(j) > default[syms[j]]:
+            bonds[(i, j)] -= 1
+    return bonds
+
+
+def perceive(atomic_nums: Sequence[int], pos: np.ndarray,
+             maxbond: float = 2.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Full pipeline; returns (bond_index [2, 2E] directed, bond_type [2E])
+    in the same layout as `predict_bonds`."""
+    bonds = connect_the_dots(atomic_nums, pos, maxbond)
+    bonds = perceive_bond_orders(atomic_nums, pos, bonds)
+    bonds = mark_aromatic_rings(atomic_nums, pos, bonds)
+    bonds = downgrade_hypervalent(atomic_nums, pos, bonds)
+    if not bonds:
+        return np.zeros((2, 0), np.int64), np.zeros((0,), np.int64)
+    src, dst, order = [], [], []
+    for (i, j), o in sorted(bonds.items()):
+        src += [i, j]
+        dst += [j, i]
+        order += [o, o]
+    return (np.asarray([src, dst], np.int64),
+            np.asarray(order, np.int64))

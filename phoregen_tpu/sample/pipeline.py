@@ -154,9 +154,25 @@ class GenerationPipeline:
         mols, smiles_list, pool, trajs = [], [], [], []
         n_failed = 0
         budget = fail_budget_factor * num_samples
+        cur_batch = self.batch_size
         while len(mols) < num_samples and n_failed < budget:
-            n = min(self.batch_size, num_samples - len(mols))
-            decoded, raw = self.sample_pool(phore_sample, n, lower, upper)
+            n = min(cur_batch, num_samples - len(mols))
+            try:
+                decoded, raw = self.sample_pool(phore_sample, n, lower,
+                                                upper)
+            except MolReconsError:
+                raise
+            except Exception as e:  # device fault (the TPU analogue of the
+                # reference's per-batch OOM catch, `sample_all.py:95-99`):
+                # count the whole batch against the budget and halve the
+                # batch so the retry fits the device
+                n_failed += n
+                cur_batch = max(1, n // 2)
+                print(f"[W] {name}: sampling batch of {n} failed "
+                      f"({type(e).__name__}: {str(e)[:120]}); retrying with "
+                      f"batch {cur_batch} ({n_failed}/{budget} failures)",
+                      flush=True)
+                continue
             if save_pool:
                 pool.append({k: np.asarray(v) for k, v in raw.items()
                              if k in ("pred_node", "pred_pos", "pred_edge",

@@ -137,6 +137,69 @@ def fix_aromatic(mol, strict=False):
     return mol, fixed
 
 
+def postprocess_rd_mol_1(mol):
+    """Radical repair (reference `utils/sample_utils.py:640-676`): pair up
+    radical electrons on bonded atoms by upgrading the bond order; convert
+    leftover radicals into explicit hydrogens."""
+    upgrade = {Chem.BondType.SINGLE: Chem.BondType.DOUBLE,
+               Chem.BondType.DOUBLE: Chem.BondType.TRIPLE}
+    mol = Chem.RemoveHs(mol)
+    nbh: Dict[int, List[int]] = {}
+    for b in mol.GetBonds():
+        i, j = b.GetBeginAtomIdx(), b.GetEndAtomIdx()
+        nbh.setdefault(i, []).append(j)
+        nbh.setdefault(j, []).append(i)
+    for atom in mol.GetAtoms():
+        idx = atom.GetIdx()
+        n_rad = atom.GetNumRadicalElectrons()
+        if n_rad > 0:
+            for j in nbh.get(idx, []):
+                if j <= idx:
+                    continue
+                nb = mol.GetAtomWithIdx(j)
+                nb_rad = nb.GetNumRadicalElectrons()
+                if nb_rad > 0:
+                    bond = mol.GetBondBetweenAtoms(idx, j)
+                    if bond.GetBondType() in upgrade:
+                        bond.SetBondType(upgrade[bond.GetBondType()])
+                        nb.SetNumRadicalElectrons(nb_rad - 1)
+                        n_rad -= 1
+            atom.SetNumRadicalElectrons(n_rad)
+        n_rad = atom.GetNumRadicalElectrons()
+        if n_rad > 0:
+            atom.SetNumRadicalElectrons(0)
+            atom.SetNumExplicitHs(atom.GetNumExplicitHs() + n_rad)
+    return mol
+
+
+def postprocess_rd_mol_2(mol):
+    """3-ring repair + charge neutralization (reference
+    `utils/sample_utils.py:679-715`): break the bond between two
+    non-carbons in a 3-ring, split O-O 3-rings into diols, clear positive
+    formal charges."""
+    edit = Chem.RWMol(mol)
+    rings = [set(r) for r in mol.GetRingInfo().AtomRings()]
+    for ring in rings:
+        if len(ring) != 3:
+            continue
+        non_c = [a for a in ring
+                 if mol.GetAtomWithIdx(a).GetSymbol() != "C"]
+        oxys = [a for a in ring
+                if mol.GetAtomWithIdx(a).GetSymbol() == "O"]
+        if len(non_c) == 2:
+            edit.RemoveBond(*non_c)
+        if len(oxys) == 2:
+            edit.RemoveBond(*oxys)
+            for o in oxys:
+                a = edit.GetAtomWithIdx(o)
+                a.SetNumExplicitHs(a.GetNumExplicitHs() + 1)
+    mol = edit.GetMol()
+    for atom in mol.GetAtoms():
+        if atom.GetFormalCharge() > 0:
+            atom.SetFormalCharge(0)
+    return mol
+
+
 def _perceive_with_openbabel(atomic_nums, xyz):
     """Bond perception via OpenBabel (gated); returns an RDKit Mol with
     perceived bonds or None. Behavioral stand-in for the reference's liGAN
@@ -171,22 +234,28 @@ def _reconstruct_rdkit(mol_info: Dict, add_edge: str, check_validity: bool):
         bond_index = np.asarray(bond_index).reshape(2, -1)
         bond_type = np.asarray(bond_type)
     elif add_edge == "openbabel":
-        # liGAN-style perception (reference `utils/sample_utils.py:168-769`
-        # `make_obmol`/`connect_the_dots`): OpenBabel's ConnectTheDots +
-        # PerceiveBondOrders, converted back to RDKit via molblock.
-        if not HAVE_OPENBABEL:
-            raise MolReconsError("openbabel backend not available")
-        mol_ob = _perceive_with_openbabel(atomic_nums, xyz)
-        if mol_ob is None:
-            raise MolReconsError("openbabel perception failed")
-        bonds = [(b.GetBeginAtomIdx(), b.GetEndAtomIdx(),
-                  b.GetBondTypeAsDouble()) for b in mol_ob.GetBonds()]
-        bond_index = np.asarray(
-            [[i for i, j, _ in bonds] + [j for i, j, _ in bonds],
-             [j for i, j, _ in bonds] + [i for i, j, _ in bonds]],
-            np.int64).reshape(2, -1)
-        bond_type = np.asarray(
-            [4 if o == 1.5 else int(o) for _, _, o in bonds] * 2, np.int64)
+        # liGAN-style perception (reference `utils/sample_utils.py:168-769`):
+        # OpenBabel's ConnectTheDots + PerceiveBondOrders when OB is
+        # importable, otherwise the toolkit-free re-derivation of the same
+        # pipeline (`ligan_bonds.perceive`: connect-the-dots pruning,
+        # hybridization-aware order perception, aromatic majority rule,
+        # hypervalency downgrades).
+        if HAVE_OPENBABEL:
+            mol_ob = _perceive_with_openbabel(atomic_nums, xyz)
+            if mol_ob is None:
+                raise MolReconsError("openbabel perception failed")
+            bonds = [(b.GetBeginAtomIdx(), b.GetEndAtomIdx(),
+                      b.GetBondTypeAsDouble()) for b in mol_ob.GetBonds()]
+            bond_index = np.asarray(
+                [[i for i, j, _ in bonds] + [j for i, j, _ in bonds],
+                 [j for i, j, _ in bonds] + [i for i, j, _ in bonds]],
+                np.int64).reshape(2, -1)
+            bond_type = np.asarray(
+                [4 if o == 1.5 else int(o) for _, _, o in bonds] * 2,
+                np.int64)
+        else:
+            from .ligan_bonds import perceive
+            bond_index, bond_type = perceive(atomic_nums, xyz)
     else:
         raise ValueError(f"Invalid add_edge mode: {add_edge}")
 
@@ -208,6 +277,17 @@ def _reconstruct_rdkit(mol_info: Dict, add_edge: str, check_validity: bool):
             rd_mol.AddBond(i, j, order_map[t])
 
     mol = rd_mol.GetMol()
+    if add_edge == "openbabel":
+        # liGAN conversion details (reference `utils/sample_utils.py:588-591,
+        # 636-715`): quaternary N gets +1, then radical/3-ring repair
+        for atom in mol.GetAtoms():
+            if atom.GetAtomicNum() == 7 and atom.GetDegree() == 4:
+                atom.SetFormalCharge(1)
+        try:
+            mol = postprocess_rd_mol_1(mol)
+            mol = postprocess_rd_mol_2(mol)
+        except Exception:
+            raise MolReconsError("openbabel-mode postprocessing failed")
     if check_validity:
         RDLogger.logger().setLevel(RDLogger.CRITICAL)
         fixed = True
@@ -246,6 +326,9 @@ def _reconstruct_simple(mol_info: Dict, add_edge: str, check_validity: bool):
         bi, bt = predict_bonds(atomic_nums, xyz)
         bond_index = np.asarray(bi).reshape(2, -1)
         bond_type = np.asarray(bt)
+    elif add_edge == "openbabel":
+        from .ligan_bonds import perceive
+        bond_index, bond_type = perceive(atomic_nums, xyz)
     else:
         raise MolReconsError(f"backend cannot do add_edge={add_edge}")
     mol = SimpleMol(atomic_nums, xyz, bond_index, bond_type)

@@ -135,6 +135,18 @@ class Sampler:
         from ..diffusion.categorical import build_strided_tables
         from ..diffusion.gaussian import build_gaussian_strided
 
+        # _schedule() is reached inside a jit trace (first sample() call per
+        # batch shape), but its products are cached across traces — they
+        # must be concrete constants, not trace-scoped tracers (a second
+        # batch shape would otherwise hit UnexpectedTracerError)
+        with jax.ensure_compile_time_eval():
+            return self._build_schedule(S, T)
+
+    def _build_schedule(self, S: int, T: int):
+        pg = self.pg
+        from ..diffusion.categorical import build_strided_tables
+        from ..diffusion.gaussian import build_gaussian_strided
+
         ts = np.unique(np.round(np.linspace(T - 1, 0, S)).astype(np.int64))
         ts = ts[::-1].copy()                       # descending, ends at 0
         diff = pg.config.model.diff

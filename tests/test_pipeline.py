@@ -86,3 +86,52 @@ def test_fail_budget_abandons(pipeline):
     phore = parse_phore_text(PHORE_TEXT, name="pipe_phore2")
     res = pipeline.generate(phore, num_samples=2, fail_budget_factor=1)
     assert res["n_failed"] <= 1 * 2 + pipeline.batch_size  # bounded
+
+
+def test_device_fault_resilience(pipeline, monkeypatch):
+    """Injected device fault: the pool loop must count the batch against
+    the failure budget, halve the batch, and keep going (the TPU analogue
+    of the reference's per-batch OOM catch, `sample_all.py:95-99`)."""
+    phore = parse_phore_text(PHORE_TEXT, name="fault_phore")
+    calls = {"n": 0, "sizes": []}
+    real = GenerationPipeline.sample_pool
+
+    def flaky(self, phore_sample, n_graphs, lower, upper):
+        calls["n"] += 1
+        calls["sizes"].append(n_graphs)
+        if calls["n"] == 1:
+            raise RuntimeError("TPU device error (injected)")
+        return real(self, phore_sample, n_graphs, lower, upper)
+
+    monkeypatch.setattr(GenerationPipeline, "sample_pool", flaky)
+    res = pipeline.generate(phore, num_samples=2)
+    # first pool of 2 faulted: counted as 2 failures, retried with batch 1
+    assert res["n_failed"] >= 2
+    assert calls["sizes"][0] == 2 and calls["sizes"][1] == 1
+    assert calls["n"] >= 2  # the loop survived the fault
+
+
+def test_fault_budget_exhaustion(pipeline, monkeypatch):
+    """Persistent faults exhaust the 3x budget and abandon the phore
+    instead of looping forever."""
+    phore = parse_phore_text(PHORE_TEXT, name="dead_phore")
+
+    def always_fault(self, *a, **k):
+        raise RuntimeError("TPU device error (injected)")
+
+    monkeypatch.setattr(GenerationPipeline, "sample_pool", always_fault)
+    res = pipeline.generate(phore, num_samples=2)
+    assert res["abandoned"] and res["n_finished"] == 0
+    assert res["n_failed"] >= 3 * 2
+
+
+def test_two_batch_shapes_one_pipeline(pipeline):
+    """Regression (round 2): the cached strided schedule used to leak
+    trace-scoped constants, so compiling a SECOND batch shape raised
+    UnexpectedTracerError (any pool where num_samples % batch_size != 0)."""
+    phore = parse_phore_text(PHORE_TEXT, name="two_shapes")
+    ps = pipeline.prepare_phore(phore)
+    lo, up = pipeline._count_interval(ps)
+    d4, _ = pipeline.sample_pool(ps, 4, lo, up)
+    d1, _ = pipeline.sample_pool(ps, 1, lo, up)  # second shape: must compile
+    assert len(d4) == 4 and len(d1) == 1
