@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--unroll", type=int, default=1,
                    help="reverse-scan unroll factor (amortizes per-iteration "
                         "runtime overhead; higher = slower compile)")
+    p.add_argument("--chunk_steps", type=int, default=0,
+                   help="split the reverse scan into device calls of this "
+                        "many steps (identical math/PRNG; for runtimes that "
+                        "cap single-execution wall-time; 0 = one scan)")
     p.add_argument("--seed", type=int, default=2024)
     p.add_argument("--use_ema", action="store_true",
                    help="sample with the EMA shadow params")
@@ -126,7 +130,7 @@ def main(argv=None):
         normal_scale=args.normal_scale, add_edge=args.add_edge,
         batch_size=args.batch_size, keep_traj=args.save_traj,
         seed=args.seed, unroll=args.unroll,
-        sample_steps=args.sample_steps)
+        sample_steps=args.sample_steps, chunk_steps=args.chunk_steps)
 
     os.makedirs(args.result_path, exist_ok=True)
     n_ok = n_fail = 0

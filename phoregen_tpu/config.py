@@ -276,6 +276,9 @@ class Config:
         assert m.compute_dtype in ("float32", "bfloat16"), (
             f"model.compute_dtype must be float32 or bfloat16, "
             f"got {m.compute_dtype!r}")
+        assert self.train.dtype in ("float32", "bfloat16"), (
+            f"train.dtype must be float32 or bfloat16, "
+            f"got {self.train.dtype!r}")
         assert m.denoiser.triplet_knn >= 0, (
             "denoiser.triplet_knn must be >= 0 (0 = exact full-k)")
         assert m.denoiser.triplet_mode in ("factorized", "dense"), (

@@ -135,7 +135,10 @@ class UniDenoiser(nn.Module):
                 xj = gather_nodes(x, nbr_idx)
                 diff = x[:, :, None, :] - xj
                 d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
-                dist_feat = gaussian_smearing(d, offsets, coeff)
+                # position-derived features drop to the compute dtype at the
+                # feature boundary (geometry itself stays f32)
+                dist_feat = gaussian_smearing(d, offsets, coeff
+                                              ).astype(h.dtype)
                 e_w = jax.nn.sigmoid(edge_pred(dist_feat)[..., 0])  # [B,N,K]
 
             if self.scan_layers:
@@ -146,7 +149,7 @@ class UniDenoiser(nn.Module):
                     (h, h_bond, x), edge_type, nbr_idx, nbr_mask, mask_l,
                     pair_mask, node_mask, ew_b,
                     phore_norm if phore_norm is not None
-                    else jnp.zeros((B, NP, 3), h.dtype))
+                    else jnp.zeros((B, NP, 3), x.dtype))
             else:
                 for layer in layers:
                     h, h_bond, x = layer(h, x, edge_type, nbr_idx, nbr_mask,
@@ -233,7 +236,8 @@ class _AttentionLayer(nn.Module):
         xj = gather_nodes(x, nbr_idx)
         rel_x = x[:, :, None, :] - xj                       # x[dst] - x[src]
         dist = jnp.sqrt(jnp.sum(rel_x * rel_x, axis=-1) + 1e-12)
-        dist_feat = gaussian_smearing(dist, offsets, coeff)  # [B,N,K,20]
+        dist_feat = gaussian_smearing(dist, offsets, coeff
+                                      ).astype(h.dtype)      # [B,N,K,20]
         outer = (edge_type[..., :, None] * dist_feat[..., None, :]
                  ).reshape(*dist_feat.shape[:-1], -1)        # type-major [.,80]
         edge_feat = jnp.concatenate([outer, edge_type], axis=-1)
@@ -250,7 +254,7 @@ class _AttentionLayer(nn.Module):
                 jnp.sum(vec1 * vec2, -1),
                 jnp.sum(vec1 * vec3, -1),
                 jnp.sum(vec2 * vec3, -1)], axis=-1)
-            dire = nn.Dense(9, name="dire_embedding")(dire)
+            dire = nn.Dense(9, name="dire_embedding")(dire.astype(h.dtype))
             edge_feat = jnp.concatenate([edge_feat, dire], axis=-1)
 
         new_h_with_edge = NodeUpdateKNN(
@@ -267,12 +271,15 @@ class _AttentionLayer(nn.Module):
         new_h_with_bond = jnp.concatenate(
             [jnp.zeros((B, NP, H), h.dtype), nhb_l], axis=1)
 
+        # the triplet path mixes position-derived f32 features in; cast its
+        # delta back so the h_bond carry dtype is stable under bf16 compute
         new_h_bond = h_bond + BondUpdateTriplet(
             hidden_dim=self.hidden_dim, n_heads=self.n_heads, norm=self.norm,
             act_fn=self.act_fn, include_h_node=self.include_h_node,
             mode=self.triplet_mode, width=self.triplet_width,
             use_pallas=self.use_pallas_triplet, knn_k=self.triplet_knn,
-            name="bond_layer")(h_lig, h_bond, x[:, NP:], mask_l)
+            name="bond_layer")(h_lig, h_bond, x[:, NP:], mask_l
+                               ).astype(h_bond.dtype)
 
         new_h = h + nn.Dense(self.hidden_dim, name="lin_node")(
             new_h_with_edge + new_h_with_bond)

@@ -87,7 +87,7 @@ class PhoreDiffNet(nn.Module):
             d = phore_pos[:, :, None, :] - phore_pos[:, None, :, :]
             dist = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
             pmask = phore_mask[:, :, None] & phore_mask[:, None, :]
-            h = self.phore_encoder(h, dist, pmask)
+            h = self.phore_encoder(h, dist.astype(h.dtype), pmask)
         return h
 
     def predict_atom_count(self, h_p, raw_phore_x, phore_mask):
@@ -96,6 +96,7 @@ class PhoreDiffNet(nn.Module):
         Parity: reference `models/diffusion.py:148-163`; the lower bound uses
         only non-EX phore nodes via the raw feature column, upper = lower +
         relu(mean_all - lower). Means are masked (padding excluded)."""
+        h_p = h_p.astype(jnp.float32)  # tiny head, full precision
         count_all = nn.sigmoid(self.atom_mlp_2(
             nn.relu(self.atom_mlp_0(h_p))))                  # [B, NP, 1]
         count_all = masked_mean(count_all, phore_mask[..., None], axis=1)
@@ -104,7 +105,9 @@ class PhoreDiffNet(nn.Module):
             nn.relu(self.atom_mlp_1_0(h_p))))
         count_l = masked_mean(count_l, mask_nonex[..., None], axis=1)
         count_u = count_l + nn.relu(count_all - count_l)
-        return count_l, count_u
+        # the interval head is tiny; keep it f32 even under bf16 compute
+        # (0.004 normalized-count resolution would be ~0.3 atoms)
+        return count_l.astype(jnp.float32), count_u.astype(jnp.float32)
 
     def count_interval(self, phore_x, phore_pos, phore_norm, phore_mask):
         """Standalone atom-count prediction used by `sample_nodes`
@@ -133,7 +136,10 @@ class PhoreDiffNet(nn.Module):
         time_dim = cfg.diff.time_dim
 
         # ---- embeddings ----
-        t_emb = self._time_embed(t)                                 # [B, td]
+        # compute dtype follows the feature inputs (bf16 mixed precision);
+        # positions and anything derived-from-positions-for-geometry stay f32
+        cdt = h_node_pert.dtype
+        t_emb = self._time_embed(t).astype(cdt)                     # [B, td]
         node_emb = self.node_embedder(h_node_pert)
         h_node = jnp.concatenate(
             [node_emb, jnp.broadcast_to(t_emb[:, None, :], (B, NL, time_dim))],

@@ -30,8 +30,12 @@ ACTS = {
 
 
 def shifted_softplus(x):
-    """softplus(x) - log(2) (reference `models/common.py:58-64`)."""
-    return nn.softplus(x) - np.log(2.0)
+    """softplus(x) - log(2) (reference `models/common.py:58-64`).
+
+    The shift is a python float: a numpy scalar would be a strong dtype and
+    silently promote bf16 activations to f32.
+    """
+    return nn.softplus(x) - 0.6931471805599453
 
 
 def gather_nodes(h: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -105,7 +109,7 @@ class NodeUpdateKNN(nn.Module):
         k = k.reshape(B, N, K, self.n_heads, d_head)
         v = v.reshape(B, N, K, self.n_heads, d_head)
         q = q.reshape(B, N, 1, self.n_heads, d_head)
-        scores = jnp.sum(q * k, axis=-1) / np.sqrt(d_head)   # [B,N,K,heads]
+        scores = jnp.sum(q * k, axis=-1) / float(np.sqrt(d_head))   # [B,N,K,heads]
         alpha = masked_softmax(scores, nbr_mask[..., None], axis=2)
         out = jnp.sum(alpha[..., None] * v, axis=2)          # [B,N,heads,dh]
         out = out.reshape(B, N, self.hidden_dim)
@@ -152,7 +156,7 @@ class NodeUpdateDense(nn.Module):
         k = k.reshape(B, N, N, self.n_heads, d_head)
         v = v.reshape(B, N, N, self.n_heads, d_head)
         q = q.reshape(B, 1, N, self.n_heads, d_head)             # per dst
-        scores = jnp.sum(q * k, axis=-1) / np.sqrt(d_head)       # [B,src,dst,heads]
+        scores = jnp.sum(q * k, axis=-1) / float(np.sqrt(d_head))       # [B,src,dst,heads]
         alpha = masked_softmax(scores, pair_mask[..., None], axis=1)
         out = jnp.sum(alpha[..., None] * v, axis=1)              # [B,dst,heads,dh]
         out = out.reshape(B, N, self.hidden_dim)
@@ -197,7 +201,7 @@ class PosUpdateKNN(nn.Module):
 
         k = k.reshape(B, N, K, self.n_heads, d_head)
         q = q.reshape(B, N, 1, self.n_heads, d_head)
-        scores = jnp.sum(q * k, axis=-1) / np.sqrt(d_head)
+        scores = jnp.sum(q * k, axis=-1) / float(np.sqrt(d_head))
         alpha = masked_softmax(scores, nbr_mask[..., None], axis=2)
         out = jnp.sum(alpha[..., None] * v, axis=2)           # [B,N,heads,3]
         return jnp.mean(out, axis=2)                          # [B,N,3]
@@ -232,7 +236,7 @@ class PosUpdateDense(nn.Module):
 
         k = k.reshape(B, N, N, self.n_heads, d_head)
         q = q.reshape(B, 1, N, self.n_heads, d_head)
-        scores = jnp.sum(q * k, axis=-1) / np.sqrt(d_head)
+        scores = jnp.sum(q * k, axis=-1) / float(np.sqrt(d_head))
         alpha = masked_softmax(scores, pair_mask[..., None], axis=1)
         out = jnp.sum(alpha[..., None] * v, axis=1)           # [B,dst,heads,3]
         return jnp.mean(out, axis=2)
@@ -290,10 +294,12 @@ class BondUpdateTriplet(nn.Module):
         offsets = jnp.asarray(offsets)
         freq_bands = jnp.asarray(angular_encoding_freq_bands(self.num_ang_funcs))
 
-        # pairwise distances (shared by both modes)
+        # pairwise distances (shared by both modes); the distance features
+        # drop to the compute dtype at the feature boundary (pos stays f32)
         rel = pos[:, :, None, :] - pos[:, None, :, :]         # rel[x,i] = x - i
         dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-12)  # [B,N,N]
-        r_feat = gaussian_smearing(dist, offsets, coeff)      # [B,N,N,20]
+        r_feat = gaussian_smearing(dist, offsets, coeff
+                                   ).astype(h.dtype)          # [B,N,N,20]
 
         if self.mode == "factorized":
             return self._factorized(h, h_bond, r_feat, pos, node_mask, act)
@@ -308,7 +314,8 @@ class BondUpdateTriplet(nn.Module):
         # gradient (see ops/pallas_triplet.py)
         cross = jnp.sqrt(jnp.clip(cross_sq, CROSS_SQ_EPS, None))
         angle = jnp.arctan2(cross, dot)                        # [B,j,k,i]
-        a_feat = angular_encoding(angle, freq_bands)           # [B,j,k,i,13]
+        a_feat = angular_encoding(angle, freq_bands
+                                  ).astype(h.dtype)            # [B,j,k,i,13]
         ang_dim = a_feat.shape[-1]
 
         # triplet mask: k,j,i valid; k!=j; j!=i; k!=i
@@ -368,7 +375,7 @@ class BondUpdateTriplet(nn.Module):
         k_t = k_t.reshape(B, N, N, N, self.n_heads, d_head)
         v_t = v_t.reshape(B, N, N, N, self.n_heads, d_head)
         q = q.reshape(B, 1, N, N, self.n_heads, d_head)
-        scores = jnp.sum(q * k_t, axis=-1) / np.sqrt(d_head)  # [B,k,j,i,heads]
+        scores = jnp.sum(q * k_t, axis=-1) / float(np.sqrt(d_head))  # [B,k,j,i,heads]
 
         alpha = masked_softmax(scores, tri_mask[..., None], axis=1)  # over k
         out = jnp.sum(alpha[..., None] * v_t, axis=1)  # [B,j,i,heads,dh]
@@ -413,15 +420,21 @@ class BondUpdateTriplet(nn.Module):
                 act_fn=self.act_fn, name="tf_q")(q_input)      # [B,j,i,h*Wt]
         q = q.reshape(B, N, N, heads, Wt)
 
+        # the triplet pool itself always runs f32: its numerics are tuned to
+        # ~2e-6 of f64 truth (scripts/drift_triplet.py) and the O(N^3)
+        # intermediates either stay in VMEM (pallas) or are Wt-narrow (XLA)
+        f32 = lambda t: t.astype(jnp.float32)
         if self.knn_k > 0 and self.knn_k < N - 1:
-            pooled = self._pool_knn(a_kj, a_ji, q, pos, node_mask, w_ang,
-                                    ln_scale, ln_bias, act)
+            pooled = self._pool_knn(f32(a_kj), f32(a_ji), f32(q), pos,
+                                    node_mask, f32(w_ang), f32(ln_scale),
+                                    f32(ln_bias), act)
         else:
-            pooled = triplet_pool(a_kj, a_ji, q, pos, node_mask, w_ang,
-                                  ln_scale, ln_bias, act, self.norm,
+            pooled = triplet_pool(f32(a_kj), f32(a_ji), f32(q), pos,
+                                  node_mask, f32(w_ang), f32(ln_scale),
+                                  f32(ln_bias), act, self.norm,
                                   num_ang_funcs=self.num_ang_funcs,
                                   use_pallas=self.use_pallas)
-        out = nn.Dense(self.hidden_dim, name="tf_out")(pooled)
+        out = nn.Dense(self.hidden_dim, name="tf_out")(pooled.astype(h.dtype))
         return out
 
     def _pool_knn(self, a_kj, a_ji, q, pos, node_mask, w_ang, ln_scale,
@@ -468,7 +481,7 @@ class BondUpdateTriplet(nn.Module):
             pre = (pre - mu) * jax.lax.rsqrt(var + LN_EPS) * ln_scale + ln_bias
         pre = act(pre)
 
-        scores = jnp.einsum("bjkiw,bjihw->bjkih", pre, q) / np.sqrt(Wt)
+        scores = jnp.einsum("bjkiw,bjihw->bjkih", pre, q) / float(np.sqrt(Wt))
         # mask: k valid neighbour of j; i valid; k != i; i != j (k != j is
         # guaranteed by knn_neighbors excluding self)
         idx = jnp.arange(N)

@@ -121,12 +121,21 @@ class PhoreGen:
     # ----- training loss -----
     def compute_loss(self, params, key: jax.Array, batch: PhoreGraphBatch,
                      lig_noise_std: float = 0.0,
+                     compute_dtype: str = "float32",
                      ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Joint pos/node/edge/count loss (reference
-        `models/diffusion.py:249-352`), masked over padded slots."""
+        `models/diffusion.py:249-352`), masked over padded slots.
+
+        `compute_dtype='bfloat16'` runs the denoiser network in bf16
+        (mixed precision: f32 master params — the cast is differentiable so
+        grads accumulate back in f32 — and f32 losses/posteriors, matching
+        the loss semantics of reference `models/diffusion.py:249-352`).
+        """
         mcfg = self.config.model
         B = batch.num_graphs
         kt, kjit, kpos, knode, kedge = jax.random.split(key, 5)
+        bf16 = compute_dtype == "bfloat16"
+        cdt = jnp.bfloat16 if bf16 else jnp.float32
 
         lig_pos = batch.lig_pos
         if lig_noise_std > 0:  # train-loop coordinate jitter (run/run.py:120-122)
@@ -146,10 +155,22 @@ class PhoreGen:
             h_edge_pert, h_edge_0 = self.edge_transition.add_noise(
                 kedge, batch.bond_type, t)
 
+        net_params = params
+        if bf16:
+            net_params = jax.tree_util.tree_map(
+                lambda x: x.astype(cdt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        # positions stay f32 even in bf16 mode (the net keeps geometry f32)
         pred_node, pred_pos, pred_edge, pred_count = self.net.apply(
-            params, h_node_pert, pos_pert, batch.lig_mask, h_edge_pert, t,
-            batch.phore_x, batch.phore_pos, batch.phore_norm,
-            batch.phore_mask)
+            net_params, h_node_pert.astype(cdt), pos_pert,
+            batch.lig_mask, h_edge_pert.astype(cdt), t,
+            batch.phore_x.astype(cdt), batch.phore_pos,
+            batch.phore_norm, batch.phore_mask)
+        if bf16:
+            f32 = lambda x: None if x is None else x.astype(jnp.float32)
+            pred_node, pred_pos, pred_edge = (
+                f32(pred_node), f32(pred_pos), f32(pred_edge))
+            pred_count = tuple(f32(c) for c in pred_count)
 
         lmask = batch.lig_mask
         emask = batch.bond_mask

@@ -37,12 +37,18 @@ class GenerationPipeline:
                  sample_nodes_mode: str = "uniform", normal_scale: float = 4.0,
                  add_edge: str = "predicted", batch_size: int = 30,
                  keep_traj: bool = False, seed: int = 2024,
-                 unroll: int = 1, sample_steps: int = 0):
+                 unroll: int = 1, sample_steps: int = 0,
+                 chunk_steps: int = 0):
         self.pg = pg
         self.params = params
         self.cfg = pg.config
         self.sampler = Sampler(pg, guidance=guidance, keep_traj=keep_traj,
                                unroll=unroll, sample_steps=sample_steps)
+        # chunk_steps > 0: run the reverse process as several device calls
+        # of `chunk_steps` scan iterations each (identical math/PRNG; see
+        # Sampler.sample_chunked) — needed under runtimes that cap a single
+        # execution's wall-time, harmless on direct hardware
+        self.chunk_steps = chunk_steps
         self.sample_nodes_mode = sample_nodes_mode
         self.normal_scale = normal_scale
         self.add_edge = add_edge
@@ -59,8 +65,14 @@ class GenerationPipeline:
     # ----- compiled entry points -----
     def _sample_fn(self, shape_key):
         if shape_key not in self._compiled:
-            self._compiled[shape_key] = jax.jit(
-                lambda p, k, b: self.sampler.sample(p, k, b))
+            if self.chunk_steps > 0:
+                # sample_chunked manages (and caches) its own jitted chunks
+                self._compiled[shape_key] = (
+                    lambda p, k, b: self.sampler.sample_chunked(
+                        p, k, b, self.chunk_steps))
+            else:
+                self._compiled[shape_key] = jax.jit(
+                    lambda p, k, b: self.sampler.sample(p, k, b))
         return self._compiled[shape_key]
 
     def _count_interval(self, phore_sample: Dict) -> Tuple[int, int]:
@@ -70,7 +82,14 @@ class GenerationPipeline:
                 lambda p, b: self.sampler.predict_count_interval(p, b))
         batch = collate([phore_sample])
         lo, up = self._count_fn(self.params, batch)
-        return int(np.asarray(lo)[0]), int(np.asarray(up)[0])
+        lo, up = int(np.asarray(lo)[0]), int(np.asarray(up)[0])
+        # clamp to the model's hard bounds (reference models/diffusion.py:30-31
+        # assumes a trained head; an untrained/degenerate interval would
+        # otherwise feed randint an empty range)
+        from ..constants import MAX_ATOMS, MIN_ATOMS
+        lo = max(MIN_ATOMS, min(lo, MAX_ATOMS))
+        up = max(lo, min(up, MAX_ATOMS))
+        return lo, up
 
     # ----- phore preparation -----
     def prepare_phore(self, phore: Phore) -> Dict:

@@ -87,6 +87,7 @@ class Sampler:
             "needs the initial timestep and the final t=0 step)")
         self.sample_steps = sample_steps
         self._strided_cache = {}
+        self._chunk_fns = {}  # (shapes, S) -> (run_chunk, run_final) jits
         # Scan unroll factor. On real TPU the rolled loop is optimal (the
         # body compute is ~20 us/step and loop overhead is negligible).
         # Measured through this sandbox's tunneled runtime there is a
@@ -173,14 +174,12 @@ class Sampler:
         return out
 
     # ----- the reverse loop -----
-    def sample(self, params, key: jax.Array, batch: PhoreGraphBatch,
-               offset_init_by_center: bool = False) -> Dict[str, Any]:
-        """Run the T-step reverse process for a padded sampling batch.
+    def _reverse_parts(self, params, batch: PhoreGraphBatch):
+        """Build (step_core, traj_slice) closures for the reverse process.
 
-        `batch` carries the replicated pharmacophore and per-graph lig_mask
-        (atom counts); ligand pos/type/bond content is ignored.
-        Returns final prediction logits/positions and (optionally) the
-        trajectory of sampled states.
+        Shared by the single-scan `sample` and the multi-call
+        `sample_chunked`; both therefore run the exact same math and PRNG
+        stream per step.
         """
         pg = self.pg
         T = pg.num_timesteps
@@ -189,8 +188,9 @@ class Sampler:
         lmask = batch.lig_mask
         bond_mask = batch.bond_mask
 
-        # compute dtype for the denoiser network; categorical posteriors and
-        # position accumulation always stay float32
+        # compute dtype for the denoiser network; categorical posteriors,
+        # positions and everything geometric always stay float32 (the net
+        # keeps position math f32 internally too — see models/denoiser.py)
         bf16 = mcfg.compute_dtype == "bfloat16"
         cdt = jnp.bfloat16 if bf16 else jnp.float32
         net_params = params
@@ -199,30 +199,10 @@ class Sampler:
                 lambda x: x.astype(cdt)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
         phore_x_c = batch.phore_x.astype(cdt)
-        phore_pos_c = batch.phore_pos.astype(cdt)
-        phore_norm_c = batch.phore_norm.astype(cdt)
+        phore_pos_c = batch.phore_pos
+        phore_norm_c = batch.phore_norm
 
-        k_init_pos, k_init_node, k_init_edge, k_scan = jax.random.split(key, 4)
-        pos_init = pg.pos_transition.sample_init(k_init_pos, (B, NL, 3))
-        if offset_init_by_center:
-            pos_init = pos_init - batch.center[:, None, :]
         discrete = pg.categorical_space == "discrete"
-        if discrete:
-            node_init, _, log_node_init = pg.node_transition.sample_init(
-                k_init_node, (B, NL))
-            edge_init, _, log_edge_init = pg.edge_transition.sample_init(
-                k_init_edge, (B, NL, NL))
-            # slim carry: class ids (int8) instead of one-hots — the scan
-            # state is what the runtime stages every iteration
-            node_init = node_init.astype(jnp.int8)
-            edge_init = edge_init.astype(jnp.int8)
-        else:
-            # relaxed one-hot Gaussian state (reference continuous mode)
-            node_init = pg.node_transition.sample_init(k_init_node, (B, NL))
-            edge_init = pg.edge_transition.sample_init(k_init_edge,
-                                                       (B, NL, NL))
-            log_node_init = jnp.zeros_like(node_init)
-            log_edge_init = jnp.zeros_like(edge_init)
 
         # non-EX phore centroid for center_prox (uses raw phore features,
         # reference `models/diffusion.py:493-497`)
@@ -280,7 +260,7 @@ class Sampler:
                 h_node_pert = node_ids.astype(cdt)
                 h_edge_pert = edge_ids.astype(cdt)
             pred_node, pred_pos, pred_edge, _ = pg.net.apply(
-                net_params, h_node_pert, pos_pert.astype(cdt), lmask,
+                net_params, h_node_pert, pos_pert, lmask,
                 h_edge_pert, t, phore_x_c, phore_pos_c, phore_norm_c,
                 batch.phore_mask)
             pred_node = pred_node.astype(jnp.float32)
@@ -339,19 +319,45 @@ class Sampler:
                       carry[4])
             return carry, ys
 
-        carry0 = (k_scan, pos_init, node_init, log_node_init,
-                  edge_init, log_edge_init)
-        # steps [0, S-1) in the scan; the t=0 step runs once outside so the
-        # final preds triple never rides the per-iteration state
-        carry, ys = jax.lax.scan(step, carry0, jnp.arange(S - 1),
-                                 unroll=min(self.unroll, max(S - 1, 1)))
-        carry, (pred_node, pred_pos, pred_edge) = step_core(
-            carry, S - 1, is_final=True)
+        return step_core, step, S
+
+    def _init_carry(self, key: jax.Array, batch: PhoreGraphBatch,
+                    offset_init_by_center: bool):
+        """Prior draws for pos/node/edge + the scan key -> initial carry."""
+        pg = self.pg
+        B, NL = batch.lig_type.shape
+        k_init_pos, k_init_node, k_init_edge, k_scan = jax.random.split(key, 4)
+        pos_init = pg.pos_transition.sample_init(k_init_pos, (B, NL, 3))
+        if offset_init_by_center:
+            pos_init = pos_init - batch.center[:, None, :]
+        if pg.categorical_space == "discrete":
+            node_init, _, log_node_init = pg.node_transition.sample_init(
+                k_init_node, (B, NL))
+            edge_init, _, log_edge_init = pg.edge_transition.sample_init(
+                k_init_edge, (B, NL, NL))
+            # slim carry: class ids (int8) instead of one-hots — the scan
+            # state is what the runtime stages every iteration
+            node_init = node_init.astype(jnp.int8)
+            edge_init = edge_init.astype(jnp.int8)
+        else:
+            # relaxed one-hot Gaussian state (reference continuous mode)
+            node_init = pg.node_transition.sample_init(k_init_node, (B, NL))
+            edge_init = pg.edge_transition.sample_init(k_init_edge,
+                                                       (B, NL, NL))
+            log_node_init = jnp.zeros_like(node_init)
+            log_edge_init = jnp.zeros_like(edge_init)
+        return (k_scan, pos_init, node_init, log_node_init,
+                edge_init, log_edge_init)
+
+    def _package(self, batch: PhoreGraphBatch, carry, preds,
+                 init_carry=None, ys=None) -> Dict[str, Any]:
+        """Assemble the result dict from the post-final-step carry/preds."""
+        mcfg = self.pg.config.model
+        pred_node, pred_pos, pred_edge = preds
         pred_pos = pred_pos + batch.center[:, None, :]
         if not mcfg.bond_diffusion:
             pred_edge = None
-
-        if discrete:
+        if self.pg.categorical_space == "discrete":
             onehot_node = lambda ids: jax.nn.one_hot(
                 ids, mcfg.num_atom_classes, dtype=jnp.float32)
             onehot_edge = lambda ids: jax.nn.one_hot(
@@ -362,17 +368,19 @@ class Sampler:
             "pred_node": pred_node,      # [B, NL, Ka] logits at t=0
             "pred_pos": pred_pos,        # [B, NL, 3] x_recon + center
             "pred_edge": pred_edge,      # [B, NL, NL, Kb] logits
-            "lig_mask": lmask,
+            "lig_mask": batch.lig_mask,
             "final_state": {
                 "pos": carry[1] + batch.center[:, None, :],
                 "h_node": onehot_node(carry[2]),
                 "h_edge": onehot_edge(carry[4]),
             },
         }
-        if self.keep_traj:
+        if self.keep_traj and ys is not None and init_carry is not None:
             # trajectories as class ids (host decodes per frame); the final
             # t=0 state ran outside the scan, so append it explicitly
             fin = result["final_state"]
+            pos_init, node_init, edge_init = (init_carry[1], init_carry[2],
+                                              init_carry[4])
             result["traj"] = {
                 "node": jnp.concatenate(
                     [node_init[None], ys[0], carry[2][None]], 0),
@@ -383,3 +391,78 @@ class Sampler:
                     [edge_init[None], ys[2], carry[4][None]], 0),
             }
         return result
+
+    def sample(self, params, key: jax.Array, batch: PhoreGraphBatch,
+               offset_init_by_center: bool = False) -> Dict[str, Any]:
+        """Run the T-step reverse process for a padded sampling batch.
+
+        `batch` carries the replicated pharmacophore and per-graph lig_mask
+        (atom counts); ligand pos/type/bond content is ignored.
+        Returns final prediction logits/positions and (optionally) the
+        trajectory of sampled states.
+        """
+        step_core, step, S = self._reverse_parts(params, batch)
+        carry0 = self._init_carry(key, batch, offset_init_by_center)
+        # steps [0, S-1) in the scan; the t=0 step runs once outside so the
+        # final preds triple never rides the per-iteration state
+        carry, ys = jax.lax.scan(step, carry0, jnp.arange(S - 1),
+                                 unroll=min(self.unroll, max(S - 1, 1)))
+        carry, preds = step_core(carry, S - 1, is_final=True)
+        return self._package(batch, carry, preds, carry0, ys)
+
+    def sample_chunked(self, params, key: jax.Array, batch: PhoreGraphBatch,
+                       chunk_steps: int,
+                       offset_init_by_center: bool = False) -> Dict[str, Any]:
+        """The exact same reverse process as `sample`, executed as
+        ceil((S-1)/chunk) + 1 device calls with the carry left on device
+        between calls — identical math and identical PRNG stream
+        (parity-tested in tests/test_pipeline.py).
+
+        Why it exists (TPU-first operational concern): some runtimes bound
+        single-execution wall-time (e.g. this sandbox's tunneled relay kills
+        executions past ~1 min, which is also what round 1 misread as a
+        "B>=32 relay fault"), and chunking also bounds the per-call staged
+        trajectory. On directly attached chips the extra dispatches cost
+        microseconds; the single-scan `sample` remains the default there.
+        """
+        step_core, step, S = self._reverse_parts(params, batch)
+        carry = self._init_carry(key, batch, offset_init_by_center)
+        init_carry = carry
+        n_body = S - 1
+        chunk = max(1, min(chunk_steps, n_body))
+
+        shape_key = (batch.lig_type.shape, batch.phore_x.shape,
+                     self.sample_steps)
+        fns = self._chunk_fns.get(shape_key)
+        if fns is None:
+            def run_chunk(params_, carry_, batch_, i0, n):
+                _, st, _ = self._reverse_parts(params_, batch_)
+                return jax.lax.scan(st, carry_, i0 + jnp.arange(n))
+
+            def run_final(params_, carry_, batch_):
+                sc, _, S_ = self._reverse_parts(params_, batch_)
+                return sc(carry_, S_ - 1, is_final=True)
+
+            # carry buffers are donated between chunks — except with
+            # keep_traj, where _package still needs the init carry's buffers
+            donate = () if self.keep_traj else (1,)
+            fns = (jax.jit(run_chunk, static_argnums=(4,),
+                           donate_argnums=donate),
+                   jax.jit(run_final))
+            self._chunk_fns[shape_key] = fns
+        run_chunk, run_final = fns
+
+        ys_parts = []
+        i0 = 0
+        while i0 < n_body:
+            n = min(chunk, n_body - i0)
+            carry, ys = run_chunk(params, carry, batch, jnp.int32(i0), n)
+            if self.keep_traj:
+                ys_parts.append(ys)
+            i0 += n
+        carry, preds = run_final(params, carry, batch)
+        ys_all = None
+        if self.keep_traj and ys_parts:
+            ys_all = tuple(jnp.concatenate([p[k] for p in ys_parts], 0)
+                           for k in range(3))
+        return self._package(batch, carry, preds, init_carry, ys_all)

@@ -36,6 +36,9 @@ def make_train_step(pg: PhoreGen, cfg: Config, mesh: Optional[Mesh] = None,
     tcfg = cfg.train
     tx = make_optimizer(tcfg, params_for_mask)
     lig_noise_std = tcfg.lig_noise_std if tcfg.add_lig_noise else 0.0
+    # mixed precision: denoiser forward/backward in bf16, f32 master params,
+    # f32 optimizer state and categorical posteriors (train.dtype knob)
+    compute_dtype = tcfg.dtype
 
     def step(state: TrainState, seed: jax.Array, batch: PhoreGraphBatch
              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -46,7 +49,8 @@ def make_train_step(pg: PhoreGen, cfg: Config, mesh: Optional[Mesh] = None,
         key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
         grad_fn = jax.value_and_grad(
             lambda p: pg.compute_loss(p, key, batch,
-                                      lig_noise_std=lig_noise_std),
+                                      lig_noise_std=lig_noise_std,
+                                      compute_dtype=compute_dtype),
             has_aux=True)
         (_, metrics), grads = grad_fn(state.params)
 
@@ -98,7 +102,8 @@ def make_eval_step(pg: PhoreGen, cfg: Config, mesh: Optional[Mesh] = None
     no coordinate jitter — reference `run/run.py:113-117` eval mode)."""
     def step(params, seed: jax.Array, batch: PhoreGraphBatch):
         key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
-        _, metrics = pg.compute_loss(params, key, batch, lig_noise_std=0.0)
+        _, metrics = pg.compute_loss(params, key, batch, lig_noise_std=0.0,
+                                     compute_dtype=cfg.train.dtype)
         return metrics
 
     if mesh is None:

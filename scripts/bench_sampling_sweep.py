@@ -26,17 +26,32 @@ import jax
 import numpy as np
 
 CONFIGS = {
-    # name: (use_pallas, triplet_knn, batch, compute_dtype)
-    "exact_xla": (False, 0, 16, "float32"),
-    "exact_pallas": (True, 0, 16, "float32"),
-    "knn16": (False, 16, 16, "float32"),
-    "knn8": (False, 8, 16, "float32"),
-    "exact_pallas_bf16": (True, 0, 16, "bfloat16"),
-    "knn16_bf16": (False, 16, 16, "bfloat16"),
+    # name: (use_pallas, triplet_knn, batch, compute_dtype, chunk)
+    "exact_xla": (False, 0, 16, "float32", 0),
+    "exact_pallas": (True, 0, 16, "float32", 0),
+    "knn16": (False, 16, 16, "float32", 0),
+    "knn8": (False, 8, 16, "float32", 0),
+    "exact_pallas_bf16": (True, 0, 16, "bfloat16", 0),
+    "knn16_bf16": (False, 16, 16, "bfloat16", 0),
+    # round-2 finding: the relay kills single executions past ~1 min (what
+    # round 1 recorded as a "B>=32 relay fault", and what the 1000-step
+    # pallas run hits at ~80 s). Chunked sampling (Sampler.sample_chunked,
+    # identical math/PRNG) keeps each device call under the cap, which
+    # unlocks batch as the throughput lever.
+    "xla_b32_c250": (False, 0, 32, "float32", 250),
+    "xla_b64_c250": (False, 0, 64, "float32", 250),
+    "xla_b128_c125": (False, 0, 128, "float32", 125),
+    "xla_b256_c125": (False, 0, 256, "float32", 125),
+    "xla_b512_c50": (False, 0, 512, "float32", 50),
+    "pallas_b16_c250": (True, 0, 16, "float32", 250),
+    "pallas_b64_c250": (True, 0, 64, "float32", 250),
+    "bf16_b64_c250": (False, 0, 64, "bfloat16", 250),
+    "bf16_b256_c125": (False, 0, 256, "bfloat16", 125),
+    "bf16_b512_c50": (False, 0, 512, "bfloat16", 50),
 }
 
 
-def bench_one(name, use_pallas, knn, batch_size, dtype, n_iters=2):
+def bench_one(name, use_pallas, knn, batch_size, dtype, chunk, n_iters=2):
     from phoregen_tpu.config import default_config
     from phoregen_tpu.data.loader import PhoreDataLoader
     from phoregen_tpu.data.synthetic import synthetic_dataset
@@ -57,7 +72,10 @@ def bench_one(name, use_pallas, knn, batch_size, dtype, n_iters=2):
     key = jax.random.PRNGKey(0)
     params = pg.init_params(key, batch)
     sampler = Sampler(pg)
-    run = jax.jit(lambda p, k, b: sampler.sample(p, k, b))
+    if chunk > 0:
+        run = lambda p, k, b: sampler.sample_chunked(p, k, b, chunk)
+    else:
+        run = jax.jit(lambda p, k, b: sampler.sample(p, k, b))
 
     t0 = time.perf_counter()
     out = run(params, key, batch)
@@ -72,7 +90,7 @@ def bench_one(name, use_pallas, knn, batch_size, dtype, n_iters=2):
     ok = bool(np.isfinite(np.asarray(out["pred_pos"])).all())
     print(json.dumps({
         "config": name, "mol_per_sec": round(batch_size / dt, 3),
-        "sec_per_batch": round(dt, 2), "batch": batch_size,
+        "sec_per_batch": round(dt, 2), "batch": batch_size, "chunk": chunk,
         "compile_s": round(t_compile, 1), "finite": ok,
     }), flush=True)
 
@@ -84,9 +102,9 @@ def main():
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}", flush=True)
     for name in args.configs.split(","):
-        use_pallas, knn, b, dt = CONFIGS[name]
+        use_pallas, knn, b, dt, chunk = CONFIGS[name]
         try:
-            bench_one(name, use_pallas, knn, b, dt, args.iters)
+            bench_one(name, use_pallas, knn, b, dt, chunk, args.iters)
         except Exception as e:
             print(json.dumps({"config": name,
                               "error": repr(e)[:200]}), flush=True)

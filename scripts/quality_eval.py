@@ -1,0 +1,161 @@
+"""Quality-evidence harness: sample pools from real pharmacophore inputs
+and record validity / connectivity / uniqueness / count-interval metrics.
+
+VERDICT round-2 item 6: generates a pool per `.phore` fixture (real files
+shipped by the reference for sampling, `tests/fixtures/phores/*.phore`),
+runs the full pipeline (count interval -> reverse diffusion -> decode ->
+reconstruction -> acceptance, parity with reference `sample_all.py:69-183`)
+and writes a JSON artifact (QUALITY_r{N}.json at the repo root).
+
+Without a trained checkpoint it first quick-trains the flagship model on the
+synthetic corpus (chain pseudo-molecules), so the recorded numbers measure
+the *pipeline*, not ZINC-level chemistry; the JSON records which weights
+were used. With `--ckpt` it evaluates real trained weights.
+
+Usage:
+  python scripts/quality_eval.py [--ckpt path] [--num_samples 20]
+      [--train_steps 300] [--round 2] [--platform tpu|cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def graph_hash(mol) -> str:
+    """Isomorphism-blind but honest uniqueness key: sorted element multiset
+    + sorted undirected typed bond list (SimpleMol backend has no canonical
+    SMILES; with RDKit the caller uses real SMILES instead)."""
+    els = ",".join(str(int(z)) for z in sorted(mol.elements))
+    bonds = sorted((min(i, j), max(i, j), t) for i, j, t in
+                   mol.undirected_bonds())
+    return els + "|" + ";".join(f"{i}-{j}:{t}" for i, j, t in bonds)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="")
+    ap.add_argument("--num_samples", type=int, default=20)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--train_steps", type=int, default=300)
+    ap.add_argument("--round", type=int, default=2)
+    ap.add_argument("--platform", default="")
+    ap.add_argument("--phore_glob",
+                    default=os.path.join(REPO, "tests/fixtures/phores/*.phore"))
+    ap.add_argument("--seed", type=int, default=2024)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import numpy as np
+
+    from phoregen_tpu.config import default_config
+    from phoregen_tpu.data.loader import PhoreDataLoader
+    from phoregen_tpu.data.phore import parse_phore_file
+    from phoregen_tpu.data.synthetic import synthetic_dataset
+    from phoregen_tpu.models.phoregen import PhoreGen
+    from phoregen_tpu.sample.chem import HAVE_RDKIT
+    from phoregen_tpu.sample.pipeline import GenerationPipeline
+    from phoregen_tpu.train.state import create_train_state
+    from phoregen_tpu.train.step import make_train_step
+
+    cfg = default_config("zinc_300")
+    cfg.dataset.ligand_buckets = [32, 48, 64, 80]
+    cfg.finalize()
+    pg = PhoreGen(cfg)
+
+    weights_src = args.ckpt or f"quick-train synthetic x{args.train_steps}"
+    if args.ckpt:
+        from phoregen_tpu.train.checkpoint import load_checkpoint
+        ck = load_checkpoint(args.ckpt)
+        params = ck["params"] if "params" in ck else ck
+    else:
+        # quick-train the flagship on the synthetic chain corpus so the
+        # sampler has non-random posteriors to work with
+        B = 8
+        samples = synthetic_dataset(args.seed, 512, max_atoms=30)
+        loader = PhoreDataLoader(samples, cfg, B, shuffle=True,
+                                 seed=args.seed)
+        batch = next(iter(loader))
+        params = pg.init_params(jax.random.PRNGKey(args.seed), batch)
+        state = create_train_state(cfg.train, params)
+        step_fn = make_train_step(pg, cfg, mesh=None, donate=True)
+        n_done, t0 = 0, time.time()
+        while n_done < args.train_steps:
+            for b in loader:
+                state, metrics = step_fn(state, np.uint32(n_done), b)
+                n_done += 1
+                if n_done >= args.train_steps:
+                    break
+        loss = float(metrics["loss"])
+        print(f"[quality_eval] quick-train {n_done} steps in "
+              f"{time.time() - t0:.0f}s, final loss {loss:.3f}", flush=True)
+        params = state.params
+
+    pipe = GenerationPipeline(pg, params, batch_size=args.batch_size,
+                              add_edge="predicted", seed=args.seed)
+    per_phore, t_start = [], time.time()
+    for path in sorted(glob.glob(args.phore_glob)):
+        phore = parse_phore_file(path)
+        res = pipe.generate(phore, args.num_samples)
+        mols = res["mols"]
+        attempted = res["n_finished"] + res["n_failed"]
+        lo, up = res["count_interval"]
+        hashes = [graph_hash(m) for m in mols]
+        n_atoms = [m.num_atoms() for m in mols]
+        count_hits = [lo <= n <= up for n in n_atoms]
+        row = {
+            "phore": res["name"],
+            "n_points": len(phore.types),
+            "count_interval": [lo, up],
+            "attempted": attempted,
+            "accepted": res["n_finished"],
+            # acceptance == sanitize + connectivity, so validity here IS the
+            # acceptance rate (reference sample_all.py:127-135)
+            "validity_pct": round(100.0 * res["n_finished"]
+                                  / max(attempted, 1), 1),
+            "uniqueness_pct": round(100.0 * len(set(hashes))
+                                    / max(len(hashes), 1), 1),
+            "count_interval_hit_pct": round(
+                100.0 * sum(count_hits) / max(len(count_hits), 1), 1),
+            "mean_atoms": round(float(np.mean(n_atoms)), 1) if n_atoms else 0,
+            "seconds": round(res["seconds"], 1),
+            "abandoned": res["abandoned"],
+        }
+        per_phore.append(row)
+        print(json.dumps(row), flush=True)
+
+    acc = sum(r["accepted"] for r in per_phore)
+    att = sum(r["attempted"] for r in per_phore)
+    out = {
+        "round": args.round,
+        "weights": weights_src,
+        "chem_backend": "rdkit" if HAVE_RDKIT else "simplemol",
+        "num_samples_per_phore": args.num_samples,
+        "overall_validity_pct": round(100.0 * acc / max(att, 1), 1),
+        "overall_accepted": acc,
+        "total_seconds": round(time.time() - t_start, 1),
+        "per_phore": per_phore,
+    }
+    out_path = args.out or os.path.join(REPO, f"QUALITY_r{args.round:02d}.json")
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[quality_eval] wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

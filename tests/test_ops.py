@@ -77,3 +77,35 @@ def test_decode_batch_reindexing():
     bi = np.asarray(out["bond_index"])
     assert sorted(map(tuple, bi.T)) == [(0, 1), (1, 0)]
     assert list(out["bond_type"]) == [1, 1]
+
+
+def test_mdn_loss_and_sampling():
+    """MDN count utilities (reference `models/model_utils.py:436-466`,
+    dormant there): NLL matches a hand-computed single-component case;
+    sampling concentrates near the selected component's mean."""
+    import jax
+    import jax.numpy as jnp
+    from phoregen_tpu.ops.mdn import mdn_loss, sample_from_mdn
+
+    # single component, unit sigma: NLL = 0.5*log(2*pi) + 0.5*z^2
+    label = jnp.asarray([0.0, 1.0])
+    mu = jnp.asarray([[0.0], [0.0]])
+    sigma = jnp.ones((2, 1))
+    pi = jnp.ones((2, 1))
+    expected = 0.5 * np.log(2 * np.pi) + 0.5 * np.mean([0.0, 1.0])
+    assert float(mdn_loss(label, mu, sigma, pi)) == pytest.approx(
+        float(expected), rel=1e-5)
+
+    # two well-separated components; pi picks the second almost surely
+    mu2 = jnp.asarray([[0.0, 10.0]] * 512)
+    sigma2 = jnp.full((512, 2), 0.1)
+    pi2 = jnp.asarray([[0.001, 0.999]] * 512)
+    draws = sample_from_mdn(jax.random.PRNGKey(0), mu2, sigma2, pi2)
+    assert float(jnp.mean((draws > 5).astype(jnp.float32))) > 0.98
+    # tighter sigma -> draws near 10
+    assert abs(float(jnp.mean(jnp.where(draws > 5, draws, 10.0)))) - 10 < 0.2
+
+    # mixture NLL is lower when the label sits on a high-pi component
+    good = mdn_loss(jnp.asarray([10.0]), mu2[:1], sigma2[:1], pi2[:1])
+    bad = mdn_loss(jnp.asarray([0.0]), mu2[:1], sigma2[:1], pi2[:1])
+    assert float(good) < float(bad)

@@ -135,3 +135,59 @@ def test_two_batch_shapes_one_pipeline(pipeline):
     d4, _ = pipeline.sample_pool(ps, 4, lo, up)
     d1, _ = pipeline.sample_pool(ps, 1, lo, up)  # second shape: must compile
     assert len(d4) == 4 and len(d1) == 1
+
+
+def test_chunked_sampling_exact_parity():
+    """sample_chunked == sample bit-for-bit: same math, same PRNG stream,
+    regardless of chunk size (incl. a non-dividing one)."""
+    from phoregen_tpu.data.batching import replicate_phore
+    from phoregen_tpu.data.phore import parse_phore_text
+    from phoregen_tpu.sample.sampler import Sampler
+
+    cfg = tiny_config()
+    pg = PhoreGen(cfg)
+    from phoregen_tpu.data.loader import PhoreDataLoader
+    from phoregen_tpu.data.synthetic import synthetic_dataset
+    loader = PhoreDataLoader(synthetic_dataset(3, 4, max_atoms=12), cfg, 4,
+                             shuffle=False)
+    batch = next(iter(loader))
+    params = pg.init_params(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(42)
+
+    sampler = Sampler(pg)  # T=8 in tiny_config
+    ref = jax.jit(lambda p, k, b: sampler.sample(p, k, b))(params, key, batch)
+    for chunk in (3, 7):  # 7 body steps: non-dividing and dividing splits
+        out = sampler.sample_chunked(params, key, batch, chunk_steps=chunk)
+        for k in ("pred_node", "pred_pos", "pred_edge"):
+            np.testing.assert_array_equal(np.asarray(ref[k]),
+                                          np.asarray(out[k]), err_msg=k)
+        np.testing.assert_array_equal(
+            np.asarray(ref["final_state"]["pos"]),
+            np.asarray(out["final_state"]["pos"]))
+
+
+def test_chunked_sampling_traj_parity():
+    """keep_traj through the chunked path reproduces the single-scan
+    trajectory exactly (init frame, every step, final frame)."""
+    from phoregen_tpu.sample.sampler import Sampler
+
+    cfg = tiny_config()
+    pg = PhoreGen(cfg)
+    from phoregen_tpu.data.loader import PhoreDataLoader
+    from phoregen_tpu.data.synthetic import synthetic_dataset
+    loader = PhoreDataLoader(synthetic_dataset(4, 4, max_atoms=12), cfg, 4,
+                             shuffle=False)
+    batch = next(iter(loader))
+    params = pg.init_params(jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(7)
+
+    sampler = Sampler(pg, keep_traj=True)
+    ref = jax.jit(lambda p, k, b: sampler.sample(p, k, b))(params, key, batch)
+    out = sampler.sample_chunked(params, key, batch, chunk_steps=3)
+    for k in ("node", "edge"):
+        np.testing.assert_array_equal(np.asarray(ref["traj"][k]),
+                                      np.asarray(out["traj"][k]), err_msg=k)
+    # pos: the init frame's +center runs inside the jit for single-scan but
+    # eagerly in _package for chunked -> 1-ulp fusion differences
+    np.testing.assert_allclose(np.asarray(ref["traj"]["pos"]),
+                               np.asarray(out["traj"]["pos"]), atol=1e-6)
