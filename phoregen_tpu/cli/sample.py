@@ -20,11 +20,14 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="PhoreGen-TPU sampling")
     p.add_argument("--config", type=str, default="",
                    help="YAML config; defaults to the one in the checkpoint")
-    p.add_argument("--ckpt", type=str, required=True,
+    p.add_argument("--ckpt", "--check_point", dest="ckpt", type=str,
+                   required=True,
                    help="checkpoint prefix (expects <ckpt>.msgpack)")
-    p.add_argument("--phore", type=str, nargs="+", required=True,
+    p.add_argument("--phore", "--phore_file_list", dest="phore", type=str,
+                   nargs="+", required=True,
                    help=".phore files, a directory, or a file_index.json")
-    p.add_argument("--result_path", type=str, default="./results/sampling")
+    p.add_argument("--result_path", "--outdir", dest="result_path", type=str,
+                   default="./results/sampling")
     p.add_argument("--num_samples", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=30)
     p.add_argument("--sample_nodes_mode", type=str, default="uniform",
@@ -36,6 +39,10 @@ def parse_args(argv=None):
                    help='JSON, e.g. \'[{"type":"atom_prox","min_d":1.0,'
                         '"max_d":3.0},{"type":"center_prox"}]\'')
     p.add_argument("--save_traj", action="store_true")
+    p.add_argument("--save_traj_prob", type=float, default=0.0,
+                   help="save each accepted molecule's trajectory with this "
+                        "probability (reference --save_traj_prob; implies "
+                        "trajectory capture when > 0)")
     p.add_argument("--save_pool", action="store_true",
                    help="dump raw sampled pools as <name>_samples_all.npz")
     p.add_argument("--sample_steps", type=int, default=0,
@@ -66,8 +73,17 @@ def resolve_phore_paths(specs):
             vals = index.values() if isinstance(index, dict) else index
             for v in vals:
                 v = v if isinstance(v, str) else v.get("phore", "")
-                paths.append(v if os.path.isabs(v) else
-                             os.path.join(base, v))
+                if os.path.isabs(v):
+                    paths.append(v)
+                    continue
+                # reference indices carry CWD-relative entries like
+                # "./data/.../x.phore" (`file_index.json`); others are
+                # relative to the index file. Prefer whichever exists,
+                # then the index dir + basename (flat-extracted archives).
+                cands = [v, os.path.join(base, v),
+                         os.path.join(base, os.path.basename(v))]
+                paths.append(next((c for c in cands if os.path.exists(c)),
+                                  cands[1]))
         elif os.path.isdir(s):
             paths.extend(sorted(glob.glob(os.path.join(s, "*.phore"))))
         else:
@@ -124,11 +140,12 @@ def main(argv=None):
         guidance = [GuidanceOpt(**g) for g in
                     json.loads(args.pos_guidance_opt)]
 
+    keep_traj = args.save_traj or args.save_traj_prob > 0
     pipeline = GenerationPipeline(
         pg, params, guidance=guidance,
         sample_nodes_mode=args.sample_nodes_mode,
         normal_scale=args.normal_scale, add_edge=args.add_edge,
-        batch_size=args.batch_size, keep_traj=args.save_traj,
+        batch_size=args.batch_size, keep_traj=keep_traj,
         seed=args.seed, unroll=args.unroll,
         sample_steps=args.sample_steps, chunk_steps=args.chunk_steps)
 
@@ -138,7 +155,10 @@ def main(argv=None):
         from ..data.phore import parse_phore_file
         res = pipeline.generate(parse_phore_file(path), args.num_samples,
                                 out_dir=args.result_path,
-                                save_pool=args.save_pool)
+                                save_pool=args.save_pool,
+                                traj_prob=(args.save_traj_prob
+                                           if args.save_traj_prob > 0
+                                           else 1.0))
         n_ok += res["n_finished"]
         n_fail += res["n_failed"]
         print(f"[I] {res['name']}: {res['n_finished']}/{args.num_samples} "

@@ -54,6 +54,7 @@ class GenerationPipeline:
         self.add_edge = add_edge
         self.batch_size = batch_size
         self.keep_traj = keep_traj
+        self.seed = seed
         self.key = jax.random.PRNGKey(seed)
         self._compiled = {}  # (B, NL, NP) -> jitted sample fn
         self._count_fn = None
@@ -165,9 +166,13 @@ class GenerationPipeline:
     def generate(self, phore: Phore, num_samples: int,
                  out_dir: Optional[str] = None,
                  fail_budget_factor: int = 3,
-                 save_pool: bool = False, traj_stride: int = 10) -> Dict:
+                 save_pool: bool = False, traj_stride: int = 10,
+                 traj_prob: float = 1.0) -> Dict:
         t0 = time.time()
         name = phore.name or "phore"
+        # per-molecule trajectory subsampling (reference --save_traj_prob,
+        # `sample_all.py:29,151-153`)
+        traj_rng = np.random.default_rng(self.seed)
         phore_sample = self.prepare_phore(phore)
         lower, upper = self._count_interval(phore_sample)
         mols, smiles_list, pool, trajs = [], [], [], []
@@ -205,7 +210,7 @@ class GenerationPipeline:
                 mols.append(mol)
                 smiles_list.append(smi)
                 info["accepted"] = True
-                if self.keep_traj:
+                if self.keep_traj and traj_rng.random() < traj_prob:
                     trajs.append((raw, gi))
         elapsed = time.time() - t0
 
