@@ -16,6 +16,7 @@ and the DDP variant (:160-312), re-designed TPU-first:
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -240,3 +241,14 @@ class Run:
         if is_best:
             best = os.path.join(self.logger.run_dir, "best_model")
             save_checkpoint(best, self.state, epoch, cfgd, extra)
+        # milestone snapshots of the best model at epochs 160/250 for
+        # non-pdbbind (pretrain) runs — reference `run/logger.py:240-242`
+        if (self.config.dataset.data_name != "pdbbind"
+                and epoch in (160, 250)):
+            snap = os.path.join(
+                self.logger.run_dir,
+                f"best_model_epoch{self.logger.best_epoch}")
+            best = os.path.join(self.logger.run_dir, "best_model")
+            for ext in (".msgpack", ".json"):
+                if os.path.exists(best + ext):
+                    shutil.copyfile(best + ext, snap + ext)

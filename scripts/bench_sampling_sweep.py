@@ -48,6 +48,14 @@ CONFIGS = {
     "bf16_b64_c250": (False, 0, 64, "bfloat16", 250),
     "bf16_b256_c125": (False, 0, 256, "bfloat16", 125),
     "bf16_b512_c50": (False, 0, 512, "bfloat16", 50),
+    # measured: relay per-iteration staging scales with per-step bytes
+    # (B=32 chunked is 0.334 mol/s vs 0.478 at B=16), so the lever is byte
+    # REDUCTION at fixed B, not batch: bf16 halves activation bytes, the
+    # Pallas kernel keeps the O(N^3) pool out of HBM, knn shrinks grids.
+    "bf16_b16_c250": (False, 0, 16, "bfloat16", 250),
+    "pallas_bf16_b16_c250": (True, 0, 16, "bfloat16", 250),
+    "knn8_bf16_b16": (False, 8, 16, "bfloat16", 0),
+    "knn16_bf16_b16": (False, 16, 16, "bfloat16", 0),
 }
 
 

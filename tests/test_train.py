@@ -262,3 +262,29 @@ def test_bf16_mixed_precision_training():
         for a, b in zip(jax.tree_util.tree_leaves(params),
                         jax.tree_util.tree_leaves(state1.params)))
     assert moved
+
+
+def test_milestone_best_snapshot(tmp_path):
+    """Epochs 160/250 copy the current best checkpoint to a named snapshot
+    for non-pdbbind runs (reference `run/logger.py:240-242`)."""
+    cfg = tiny_config()
+    cfg.logger.result = str(tmp_path)
+    cfg.logger.run_name = "snap"
+    cfg.logger.tensorboard = False
+    cfg.train.num_devices = 8
+    run = Run(cfg)
+    train = synthetic_dataset(9, 16, max_atoms=12)
+    run.train(train, train[:8], epochs=1)
+    run.logger.best_epoch = 0
+    run.save(epoch=160, is_best=False)
+    run_dir = os.path.join(str(tmp_path), "snap")
+    assert os.path.exists(os.path.join(run_dir,
+                                       "best_model_epoch0.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, "best_model_epoch0.json"))
+    # pdbbind runs do not snapshot
+    run.config.dataset.data_name = "pdbbind"
+    run.save(epoch=250, is_best=False)
+    assert not os.path.exists(os.path.join(run_dir,
+                                           "best_model_epoch0_x.msgpack"))
+    names = os.listdir(run_dir)
+    assert sum(n.startswith("best_model_epoch") for n in names) == 2
