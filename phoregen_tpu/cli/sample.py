@@ -55,6 +55,12 @@ def parse_args(argv=None):
                    help="split the reverse scan into device calls of this "
                         "many steps (identical math/PRNG; for runtimes that "
                         "cap single-execution wall-time; 0 = one scan)")
+    p.add_argument("--triplet_knn", type=int, default=-1,
+                   help="override denoiser.triplet_knn at sampling time "
+                        "(0 = exact triplet attention, K>0 = restrict to K "
+                        "nearest neighbours; -1 = keep checkpoint config). "
+                        "Parameter-compatible: only masks which triplets "
+                        "are enumerated.")
     p.add_argument("--seed", type=int, default=2024)
     p.add_argument("--use_ema", action="store_true",
                    help="sample with the EMA shadow params")
@@ -111,6 +117,8 @@ def main(argv=None):
         cfg = load_config(args.config)
     else:
         cfg = config_from_dict(meta["config"])
+    if args.triplet_knn >= 0:
+        cfg.model.denoiser.triplet_knn = args.triplet_knn
 
     pg = PhoreGen(cfg)
     # template params for deserialization

@@ -106,6 +106,10 @@ class DenoiserConfig:
     # MLPs, the exact-width reference analogue). See BondUpdateTriplet.
     triplet_mode: str = "factorized"
     triplet_width: int = 32
+    # kNN triplet pool may run in the compute dtype (bf16) instead of
+    # pinned f32 — its [N,N,K,*] grids dominate per-step activation bytes;
+    # softmax stays f32. No effect at float32 or on the exact/pallas pool.
+    triplet_pool_follow_dtype: bool = True
     # TPU-specific: run the num_layers-deep attention stack as one
     # nn.scan'd layer with stacked params — ~num_layers x smaller compiled
     # program (compile time and loop-body size), identical math.

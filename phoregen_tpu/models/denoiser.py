@@ -58,6 +58,7 @@ class UniDenoiser(nn.Module):
     direction_match: bool = True
     use_global_ew: bool = True
     triplet_mode: str = "factorized"
+    triplet_pool_follow_dtype: bool = True
     triplet_width: int = 32
     use_pallas_triplet: bool = False
     scan_layers: bool = True
@@ -100,7 +101,8 @@ class UniDenoiser(nn.Module):
                         triplet_mode=self.triplet_mode,
                         triplet_width=self.triplet_width,
                         use_pallas_triplet=self.use_pallas_triplet,
-                        triplet_knn=self.triplet_knn)
+                        triplet_knn=self.triplet_knn,
+                        triplet_pool_follow_dtype=self.triplet_pool_follow_dtype)
         if self.scan_layers:
             # one nn.scan'd layer with stacked params: the compiled body is
             # ~num_layers x smaller (same math, same per-layer params);
@@ -176,6 +178,7 @@ class _ScanLayerBody(nn.Module):
     include_h_node: bool
     direction_match: bool
     triplet_mode: str = "factorized"
+    triplet_pool_follow_dtype: bool = True
     triplet_width: int = 32
     use_pallas_triplet: bool = False
     triplet_knn: int = 0
@@ -196,6 +199,7 @@ class _ScanLayerBody(nn.Module):
             triplet_width=self.triplet_width,
             use_pallas_triplet=self.use_pallas_triplet,
             triplet_knn=self.triplet_knn,
+            triplet_pool_follow_dtype=self.triplet_pool_follow_dtype,
             name="layer")(
             h, x, edge_type, nbr_idx, nbr_mask, h_bond, mask_l, pair_mask,
             node_mask, e_w=e_w, phore_norm=phore_norm, num_phore=NP)
@@ -218,6 +222,7 @@ class _AttentionLayer(nn.Module):
     include_h_node: bool
     direction_match: bool
     triplet_mode: str = "factorized"
+    triplet_pool_follow_dtype: bool = True
     triplet_width: int = 32
     use_pallas_triplet: bool = False
     triplet_knn: int = 0
@@ -278,6 +283,7 @@ class _AttentionLayer(nn.Module):
             act_fn=self.act_fn, include_h_node=self.include_h_node,
             mode=self.triplet_mode, width=self.triplet_width,
             use_pallas=self.use_pallas_triplet, knn_k=self.triplet_knn,
+            pool_follow_dtype=self.triplet_pool_follow_dtype,
             name="bond_layer")(h_lig, h_bond, x[:, NP:], mask_l
                                ).astype(h_bond.dtype)
 

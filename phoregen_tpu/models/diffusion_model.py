@@ -62,6 +62,7 @@ class PhoreDiffNet(nn.Module):
             use_pallas_triplet=d.use_pallas_triplet,
             scan_layers=d.scan_layers,
             triplet_knn=d.triplet_knn,
+            triplet_pool_follow_dtype=d.triplet_pool_follow_dtype,
             remat_layers=d.remat_layers)
         self.v_inference_0 = nn.Dense(H)
         self.v_inference_2 = nn.Dense(cfg.num_atom_classes)

@@ -282,6 +282,10 @@ class BondUpdateTriplet(nn.Module):
     width: int = 32
     use_pallas: bool = False
     knn_k: int = 0  # >0: restrict k to the K nearest neighbours of j
+    # kNN path only: run the triplet pool in the compute dtype instead of
+    # pinned f32 (softmax stays f32). No effect at compute_dtype=float32;
+    # the exact/pallas pool keeps its tuned-to-2e-6 f32 numerics.
+    pool_follow_dtype: bool = True
 
     @nn.compact
     def __call__(self, h, h_bond, pos, node_mask):
@@ -420,14 +424,20 @@ class BondUpdateTriplet(nn.Module):
                 act_fn=self.act_fn, name="tf_q")(q_input)      # [B,j,i,h*Wt]
         q = q.reshape(B, N, N, heads, Wt)
 
-        # the triplet pool itself always runs f32: its numerics are tuned to
-        # ~2e-6 of f64 truth (scripts/drift_triplet.py) and the O(N^3)
-        # intermediates either stay in VMEM (pallas) or are Wt-narrow (XLA)
+        # the exact-grid triplet pool always runs f32: its numerics are tuned
+        # to ~2e-6 of f64 truth (scripts/drift_triplet.py) and the O(N^3)
+        # intermediates either stay in VMEM (pallas) or are Wt-narrow (XLA).
+        # The kNN pool may follow a bf16 compute dtype (pool_follow_dtype):
+        # its [N,N,K,*] grids dominate the per-step activation footprint.
         f32 = lambda t: t.astype(jnp.float32)
         if self.knn_k > 0 and self.knn_k < N - 1:
-            pooled = self._pool_knn(f32(a_kj), f32(a_ji), f32(q), pos,
-                                    node_mask, f32(w_ang), f32(ln_scale),
-                                    f32(ln_bias), act)
+            if self.pool_follow_dtype and h.dtype != jnp.float32:
+                cast = lambda t: t.astype(h.dtype)
+            else:
+                cast = f32
+            pooled = self._pool_knn(cast(a_kj), cast(a_ji), cast(q), pos,
+                                    node_mask, cast(w_ang), cast(ln_scale),
+                                    cast(ln_bias), act)
         else:
             pooled = triplet_pool(f32(a_kj), f32(a_ji), f32(q), pos,
                                   node_mask, f32(w_ang), f32(ln_scale),
@@ -472,7 +482,9 @@ class BondUpdateTriplet(nn.Module):
         cross = jnp.sqrt(jnp.clip(
             njsq[:, :, None, :] * nksq - dot * dot, CROSS_SQ_EPS, None))
         angle = jnp.arctan2(cross, dot)                        # [B, j, K, i]
-        a_ang = _angle_encode(angle, freq) @ w_ang             # [B, j, K, i, Wt]
+        # geometry stays f32 (pos-derived); the encode matmul drops to the
+        # pool dtype at the feature boundary
+        a_ang = _angle_encode(angle, freq).astype(w_ang.dtype) @ w_ang
 
         pre = (a_kj_j[:, :, :, None, :] + a_ji[:, :, None, :, :] + a_ang)
         if self.norm:
@@ -481,7 +493,10 @@ class BondUpdateTriplet(nn.Module):
             pre = (pre - mu) * jax.lax.rsqrt(var + LN_EPS) * ln_scale + ln_bias
         pre = act(pre)
 
-        scores = jnp.einsum("bjkiw,bjihw->bjkih", pre, q) / float(np.sqrt(Wt))
+        # logits/softmax in f32 regardless of the pool dtype
+        scores = jnp.einsum("bjkiw,bjihw->bjkih", pre, q,
+                            preferred_element_type=jnp.float32
+                            ) / float(np.sqrt(Wt))
         # mask: k valid neighbour of j; i valid; k != i; i != j (k != j is
         # guaranteed by knn_neighbors excluding self)
         idx = jnp.arange(N)
@@ -490,5 +505,6 @@ class BondUpdateTriplet(nn.Module):
         valid = (nbr_mask[..., None] & node_mask[:, None, None, :]
                  & node_mask[:, :, None, None] & neq_ki & neq_ji)
         alpha = masked_softmax(scores, valid[..., None], axis=2)  # over K
-        pooled = jnp.einsum("bjkih,bjkiw->bjihw", alpha, pre)
+        pooled = jnp.einsum("bjkih,bjkiw->bjihw", alpha.astype(pre.dtype),
+                            pre)
         return pooled.reshape(B, N, N, heads * Wt)

@@ -56,10 +56,28 @@ CONFIGS = {
     "pallas_bf16_b16_c250": (True, 0, 16, "bfloat16", 250),
     "knn8_bf16_b16": (False, 8, 16, "bfloat16", 0),
     "knn16_bf16_b16": (False, 16, 16, "bfloat16", 0),
+    # relay cost-model probes: measured per-iteration overhead is neither
+    # pure per-byte (bf16 neutral) nor pure per-op (knn8 gives 2x), and
+    # pallas custom calls are 3x slower — probe the floor with a 1-layer
+    # body and the inner layer-scan unrolled
+    "knn8_L1": (False, 8, 16, "float32", 0, {"num_layers": 1}),
+    "knn8_noscan": (False, 8, 16, "float32", 0, {"scan_layers": False}),
+    "knn16_f32": (False, 16, 16, "float32", 0),
+    # triplet_pool_follow_dtype (default on) lets the kNN pool run bf16:
+    # re-measure the bf16 configs with the pool actually following
+    "knn8_bf16_pool": (False, 8, 16, "bfloat16", 0),
+    "knn8_noscan_bf16_pool": (False, 8, 16, "bfloat16", 0,
+                              {"scan_layers": False}),
+    "knn16_bf16_pool": (False, 16, 16, "bfloat16", 0),
+    # batch sensitivity around the best config (per-iteration cost is
+    # superlinear in B, so the optimum may sit below 16)
+    "knn8_noscan_b8": (False, 8, 8, "float32", 0, {"scan_layers": False}),
+    "knn8_noscan_b24": (False, 8, 24, "float32", 0, {"scan_layers": False}),
 }
 
 
-def bench_one(name, use_pallas, knn, batch_size, dtype, chunk, n_iters=2):
+def bench_one(name, use_pallas, knn, batch_size, dtype, chunk, extra=None,
+              n_iters=2):
     from phoregen_tpu.config import default_config
     from phoregen_tpu.data.loader import PhoreDataLoader
     from phoregen_tpu.data.synthetic import synthetic_dataset
@@ -72,6 +90,8 @@ def bench_one(name, use_pallas, knn, batch_size, dtype, chunk, n_iters=2):
     cfg.model.denoiser.use_pallas_triplet = use_pallas
     cfg.model.denoiser.triplet_knn = knn
     cfg.model.compute_dtype = dtype
+    for k, v in (extra or {}).items():
+        setattr(cfg.model.denoiser, k, v)
 
     pg = PhoreGen(cfg)
     samples = synthetic_dataset(0, batch_size, max_atoms=30)
@@ -107,12 +127,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default=",".join(CONFIGS))
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--platform", default="",
+                    help="force platform (env vars are NOT honored here — "
+                         "sitecustomize registers the axon plugin first)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     print(f"backend: {jax.default_backend()}", flush=True)
     for name in args.configs.split(","):
-        use_pallas, knn, b, dt, chunk = CONFIGS[name]
+        spec = CONFIGS[name]
+        use_pallas, knn, b, dt, chunk = spec[:5]
+        extra = spec[5] if len(spec) > 5 else None
         try:
-            bench_one(name, use_pallas, knn, b, dt, chunk, args.iters)
+            bench_one(name, use_pallas, knn, b, dt, chunk, extra, args.iters)
         except Exception as e:
             print(json.dumps({"config": name,
                               "error": repr(e)[:200]}), flush=True)

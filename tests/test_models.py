@@ -162,3 +162,36 @@ def test_triplet_dense_mode_runs():
     assert np.isfinite(np.asarray(pos)).all()
     assert np.isfinite(np.asarray(edge)).all()
     assert node.shape == (2, 8, 12) and edge.shape == (2, 8, 8, 6)
+
+
+def test_knn_pool_dtype_follow():
+    """triplet_pool_follow_dtype: f32 compute is bit-identical regardless of
+    the flag; bf16 compute with the pool following tracks the f32-pool
+    result to bf16 tolerance (the softmax stays f32)."""
+    import copy
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng)
+
+    def run(compute_dtype, follow):
+        cfg = tiny_config()
+        cfg.model.denoiser.triplet_knn = 3
+        cfg.model.compute_dtype = compute_dtype
+        cfg.model.denoiser.triplet_pool_follow_dtype = follow
+        pg = PhoreGen(cfg)
+        params = pg.init_params(jax.random.PRNGKey(0), batch)
+        node, pos, edge, cnt = jax.jit(
+            lambda p, b: forward(pg, p, b))(params, batch)
+        return (np.asarray(node, np.float32), np.asarray(pos, np.float32),
+                np.asarray(edge, np.float32))
+
+    f32_off = run("float32", False)
+    f32_on = run("float32", True)
+    for a, b in zip(f32_off, f32_on):
+        np.testing.assert_array_equal(a, b)  # no effect at f32
+
+    bf_off = run("bfloat16", False)
+    bf_on = run("bfloat16", True)
+    for a, b in zip(bf_off, bf_on):
+        assert np.isfinite(b).all()
+        denom = np.maximum(np.abs(a).max(), 1e-3)
+        assert np.abs(a - b).max() / denom < 0.1
