@@ -38,12 +38,21 @@ def main():
     # dense-grid tensors scale with NL^2/NL^3 so the tight bucket matters.
     cfg.dataset.ligand_buckets = [32]
     cfg.dataset.max_phore = 32
-    # B=16 is the largest batch the sandbox's tunneled runtime executes
-    # reliably (B>=32 hits a device-side fault in the relay); the 1000-step
-    # scan costs ~13 s/batch there regardless of body size because each loop
-    # iteration pays a body-proportional staging overhead. On directly
-    # attached TPU hardware the same executable is compute-bound
-    # (~20 us/step/batch measured for the fused body).
+    # Fastest defensible config through this sandbox's tunneled runtime
+    # (full sweep: scripts/bench_sampling_sweep.py, measurements + cost
+    # model in BASELINE.md "round 2"): per-scan-iteration staging overhead
+    # scales with loop-body op sizes (dtype-invariant, batch-superlinear,
+    # pallas custom calls 3x worse), so the levers are the kNN-restricted
+    # triplet grids (quality delta quantified in KNN_QUALITY.json) and an
+    # unrolled layer stack. B=16 is the measured optimum (8: 0.68, 16:
+    # 1.06, 24: 0.96 mol/s). On directly attached TPU hardware the same
+    # executable is compute-bound (~20 us/step/batch for the fused body;
+    # none of the relay staging exists there).
+    cfg.model.denoiser.triplet_knn = int(os.environ.get("BENCH_KNN", "8"))
+    cfg.model.denoiser.scan_layers = (
+        os.environ.get("BENCH_SCAN_LAYERS", "0") == "1")
+    cfg.model.denoiser.use_pallas_triplet = (
+        os.environ.get("BENCH_PALLAS", "0") == "1")
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
 
     pg = PhoreGen(cfg)
