@@ -97,10 +97,15 @@ class DenoiserConfig:
     use_global_ew: bool = True
     # TPU-specific: use the fused Pallas triplet-attention kernel for the
     # bond layer (nothing O(NL^3)-sized reaches HBM; backward runs the XLA
-    # path via custom_vjp). Default on — it dispatches to the kernel only on
-    # a real TPU backend and to the XLA form elsewhere. Matches float64 math
-    # to ~2e-6 max-abs (scripts/drift_triplet.py).
-    use_pallas_triplet: bool = True
+    # path via custom_vjp). Matches float64 math to ~2e-6 max-abs
+    # (scripts/drift_triplet.py). Default OFF by measurement in this
+    # environment (BASELINE.md round 2): through the tunneled runtime the
+    # custom call is ~2-3x slower than the factorized XLA path for both
+    # sampling (0.149 vs 0.478 mol/s) and training (45.6 vs 81.8 graphs/s
+    # at NL=32), and its NL=80 compile crashes the remote compiler. On
+    # directly attached chips the HBM-traffic argument may win — flip it
+    # there and measure.
+    use_pallas_triplet: bool = False
     # TPU-specific triplet-layer mode: 'factorized' (width-Wt per-triplet
     # features, the fast default) or 'dense' (full hidden-width per-triplet
     # MLPs, the exact-width reference analogue). See BondUpdateTriplet.

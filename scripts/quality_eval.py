@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--phore_glob",
                     default=os.path.join(REPO, "tests/fixtures/phores/*.phore"))
     ap.add_argument("--seed", type=int, default=2024)
+    ap.add_argument("--triplet_knn", type=int, default=-1,
+                    help="override denoiser.triplet_knn for the sampling "
+                         "pipeline (-1 = config default/exact); the "
+                         "quick-trained weights are knn-agnostic")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -75,6 +79,8 @@ def main():
 
     cfg = default_config("zinc_300")
     cfg.dataset.ligand_buckets = [32, 48, 64, 80]
+    if args.triplet_knn >= 0:
+        cfg.model.denoiser.triplet_knn = args.triplet_knn
     cfg.finalize()
     pg = PhoreGen(cfg)
 
@@ -145,6 +151,7 @@ def main():
         "round": args.round,
         "weights": weights_src,
         "chem_backend": "rdkit" if HAVE_RDKIT else "simplemol",
+        "triplet_knn": cfg.model.denoiser.triplet_knn,
         "num_samples_per_phore": args.num_samples,
         "overall_validity_pct": round(100.0 * acc / max(att, 1), 1),
         "overall_accepted": acc,
