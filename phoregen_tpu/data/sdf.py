@@ -92,9 +92,11 @@ def parse_molblock(text: str) -> SimpleMol:
             t = int(ln[6:9])
         except (ValueError, IndexError):
             parts = ln.split()
-            if len(parts) < 3:
-                raise SdfParseError(f"bad bond line: {ln!r}")
-            i, j, t = int(parts[0]) - 1, int(parts[1]) - 1, int(parts[2])
+            try:
+                i, j, t = (int(parts[0]) - 1, int(parts[1]) - 1,
+                           int(parts[2]))
+            except (ValueError, IndexError) as e:
+                raise SdfParseError(f"bad bond line: {ln!r}") from e
         if not (0 <= i < n_atoms and 0 <= j < n_atoms):
             raise SdfParseError(f"bond index out of range: {ln!r}")
         # directed both ways, matching reconstruction output convention

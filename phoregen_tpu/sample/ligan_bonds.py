@@ -120,6 +120,12 @@ def connect_the_dots(atomic_nums: Sequence[int], pos: np.ndarray,
     """Steps 1-3: distance bonding + valence caps + geometric pruning.
 
     Returns {(i, j) i<j: order} with all orders 1.
+
+    Parity note: per-atom max-bond caps (incl. the sulfone exception) feed
+    ONLY the maxb==1/maxb==1 pair drop — general hypervalency pruning is
+    deliberately NOT enforced here because the reference's own block for it
+    is commented out (`utils/sample_utils.py:302-323`); live reference
+    behavior lets sanitization reject residual hypervalent atoms.
     """
     n = len(atomic_nums)
     pos = np.asarray(pos, np.float64)
@@ -336,6 +342,11 @@ def downgrade_hypervalent(atomic_nums: Sequence[int], pos: np.ndarray,
 
     default = {s: {"S": 6, "P": 5}.get(s, MAX_VALENCE.get(s, 4))
                for s in set(syms)}
+    # single pass, longest first, one decrement per bond (triple->double,
+    # double->single) — exactly the reference's loop shape
+    # (`utils/sample_utils.py:578-587`); it does NOT iterate to a fixpoint,
+    # so an atom can stay hypervalent and later fail sanitization, which is
+    # live reference behavior
     nonsingle = [k for k, o in bonds.items() if o in (2, 3)]
     nonsingle.sort(key=lambda k: -float(np.linalg.norm(pos[k[0]]
                                                        - pos[k[1]])))

@@ -186,10 +186,11 @@ class GenerationPipeline:
                                                 upper)
             except MolReconsError:
                 raise
-            except Exception as e:  # device fault (the TPU analogue of the
-                # reference's per-batch OOM catch, `sample_all.py:95-99`):
-                # count the whole batch against the budget and halve the
-                # batch so the retry fits the device
+            except jax.errors.JaxRuntimeError as e:
+                # device/runtime fault only (the TPU analogue of the
+                # reference's per-batch OOM catch, `sample_all.py:95-99`) —
+                # programming errors still raise. Count the whole batch
+                # against the budget and halve so the retry fits the device
                 n_failed += n
                 cur_batch = max(1, n // 2)
                 print(f"[W] {name}: sampling batch of {n} failed "

@@ -133,9 +133,6 @@ class Sampler:
         S = self.sample_steps if 0 < self.sample_steps < T else T
         if S in self._strided_cache:
             return self._strided_cache[S]
-        from ..diffusion.categorical import build_strided_tables
-        from ..diffusion.gaussian import build_gaussian_strided
-
         # _schedule() is reached inside a jit trace (first sample() call per
         # batch shape), but its products are cached across traces — they
         # must be concrete constants, not trace-scoped tracers (a second

@@ -7,6 +7,10 @@ set -euo pipefail
 CKPT=${CKPT:-./results/dock_cpx_finetune/best_model}
 PHORES=${PHORES:-./data/phores_for_sampling}
 OUT=${OUT:-./results/sampling}
+# On runtimes that cap single-execution wall time (e.g. tunneled relays),
+# add: --chunk_steps 250 (identical math/PRNG, bounded device calls) and/or
+# --triplet_knn 8 (faster restricted attention, quality cost in
+# KNN_QUALITY.json). Batch 30 at full exact attention can exceed such caps.
 
 python sample_all.py \
   --ckpt "$CKPT" \

@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--phore_glob",
                     default=os.path.join(REPO, "tests/fixtures/phores/*.phore"))
     ap.add_argument("--seed", type=int, default=2024)
+    ap.add_argument("--chunk_steps", type=int, default=0,
+                    help="chunked reverse process (identical math; keeps "
+                         "each device call under relay wall-time caps)")
     ap.add_argument("--triplet_knn", type=int, default=-1,
                     help="override denoiser.triplet_knn for the sampling "
                          "pipeline (-1 = config default/exact); the "
@@ -87,8 +90,14 @@ def main():
     weights_src = args.ckpt or f"quick-train synthetic x{args.train_steps}"
     if args.ckpt:
         from phoregen_tpu.train.checkpoint import load_checkpoint
-        ck = load_checkpoint(args.ckpt)
-        params = ck["params"] if "params" in ck else ck
+        from phoregen_tpu.train.state import create_train_state
+        tmpl = synthetic_dataset(args.seed, 8, max_atoms=30)
+        tmpl_loader = PhoreDataLoader(tmpl, cfg, 8, shuffle=False)
+        params = pg.init_params(jax.random.PRNGKey(0),
+                                next(iter(tmpl_loader)))
+        state, _ = load_checkpoint(args.ckpt,
+                                   create_train_state(cfg.train, params))
+        params = state.params
     else:
         # quick-train the flagship on the synthetic chain corpus so the
         # sampler has non-random posteriors to work with
@@ -113,7 +122,8 @@ def main():
         params = state.params
 
     pipe = GenerationPipeline(pg, params, batch_size=args.batch_size,
-                              add_edge="predicted", seed=args.seed)
+                              add_edge="predicted", seed=args.seed,
+                              chunk_steps=args.chunk_steps)
     per_phore, t_start = [], time.time()
     for path in sorted(glob.glob(args.phore_glob)):
         phore = parse_phore_file(path)
@@ -126,7 +136,7 @@ def main():
         count_hits = [lo <= n <= up for n in n_atoms]
         row = {
             "phore": res["name"],
-            "n_points": len(phore.types),
+            "n_points": len(phore.features),
             "count_interval": [lo, up],
             "attempted": attempted,
             "accepted": res["n_finished"],

@@ -100,7 +100,7 @@ def test_device_fault_resilience(pipeline, monkeypatch):
         calls["n"] += 1
         calls["sizes"].append(n_graphs)
         if calls["n"] == 1:
-            raise RuntimeError("TPU device error (injected)")
+            raise jax.errors.JaxRuntimeError("TPU device error (injected)")
         return real(self, phore_sample, n_graphs, lower, upper)
 
     monkeypatch.setattr(GenerationPipeline, "sample_pool", flaky)
@@ -117,7 +117,7 @@ def test_fault_budget_exhaustion(pipeline, monkeypatch):
     phore = parse_phore_text(PHORE_TEXT, name="dead_phore")
 
     def always_fault(self, *a, **k):
-        raise RuntimeError("TPU device error (injected)")
+        raise jax.errors.JaxRuntimeError("TPU device error (injected)")
 
     monkeypatch.setattr(GenerationPipeline, "sample_pool", always_fault)
     res = pipeline.generate(phore, num_samples=2)
