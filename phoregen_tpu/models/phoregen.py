@@ -7,7 +7,7 @@ a pure function of (params, rng, batch) so it jits/pjits directly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,34 +23,42 @@ from .diffusion_model import PhoreDiffNet
 
 
 def qd_loss(y_true, y_l, y_u, a=0.05, s=160.0, nd=15.0, factor=1.0,
-            epsilon=1e-12):
+            epsilon=1e-12, weights=None):
     """Quality-driven interval loss (soft PICP / MPIW).
 
-    Parity: reference `models/common.py:261-281`. y_*: [B, 1].
+    Parity: reference `models/common.py:261-281`. y_*: [B, 1]. `weights`
+    ([B, 1] in {0, 1}) excludes cycled tail-batch duplicates from the
+    means; None keeps the reference's unweighted form.
     """
-    n = y_true.shape[0]
+    if weights is None:
+        weights = jnp.ones_like(y_true)
+    n = jnp.sum(weights)
     k_u_h = jax.nn.relu(jnp.sign(y_u - y_true))
     k_l_h = jax.nn.relu(jnp.sign(y_true - y_l))
     k_u_s = jax.nn.sigmoid((y_u - y_true) * s)
     k_l_s = jax.nn.sigmoid((y_true - y_l) * s)
     k_s = k_u_s * k_l_s
     k_h = k_u_h * k_l_h
-    mpiw_c = jnp.sum((y_u - y_l) * k_h) / (jnp.sum(k_h) + epsilon) * factor
-    picp = jnp.mean(k_s)
+    mpiw_c = (jnp.sum((y_u - y_l) * k_h * weights)
+              / (jnp.sum(k_h * weights) + epsilon) * factor)
+    picp = jnp.sum(k_s * weights) / jnp.maximum(n, 1.0)
     return mpiw_c + jax.nn.relu((1 - a) - picp) ** 2 * (n ** 0.5) * nd
 
 
-def exact_match_accuracy(true, pred_logits, mask):
+def exact_match_accuracy(true, pred_logits, mask, graph_weights=None):
     """Fraction of graphs whose every valid entry is argmax-correct.
 
     Parity: `get_node_accuracy` / `get_edge_accuracy`
-    (reference `models/common.py:284-297`). mask: [B, ...] validity grid.
-    """
+    (reference `models/common.py:284-297`). mask: [B, ...] validity grid;
+    `graph_weights` [B] excludes cycled tail-batch duplicates."""
     pred = jnp.argmax(pred_logits, axis=-1)
     wrong = (pred != true) & mask
     axes = tuple(range(1, wrong.ndim))
-    graph_ok = ~jnp.any(wrong, axis=axes)
-    return jnp.mean(graph_ok.astype(jnp.float32))
+    graph_ok = (~jnp.any(wrong, axis=axes)).astype(jnp.float32)
+    if graph_weights is None:
+        return jnp.mean(graph_ok)
+    w = graph_weights.astype(jnp.float32)
+    return jnp.sum(graph_ok * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 @dataclasses.dataclass
@@ -122,6 +130,7 @@ class PhoreGen:
     def compute_loss(self, params, key: jax.Array, batch: PhoreGraphBatch,
                      lig_noise_std: float = 0.0,
                      compute_dtype: str = "float32",
+                     graph_mask: Optional[jnp.ndarray] = None,
                      ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Joint pos/node/edge/count loss (reference
         `models/diffusion.py:249-352`), masked over padded slots.
@@ -130,6 +139,11 @@ class PhoreGen:
         (mixed precision: f32 master params — the cast is differentiable so
         grads accumulate back in f32 — and f32 losses/posteriors, matching
         the loss semantics of reference `models/diffusion.py:249-352`).
+
+        `graph_mask` ([B] bool) excludes graphs from every loss/metric
+        reduction — the eval path passes it for cycled tail batches so the
+        duplicated samples contribute exactly zero mass (the reference gets
+        this for free from variable last-batch sizes).
         """
         mcfg = self.config.model
         B = batch.num_graphs
@@ -174,6 +188,12 @@ class PhoreGen:
 
         lmask = batch.lig_mask
         emask = batch.bond_mask
+        gw = None
+        if graph_mask is not None:
+            gm = graph_mask.astype(bool)
+            lmask = lmask & gm[:, None]
+            emask = emask & gm[:, None, None]
+            gw = gm.astype(jnp.float32)
         loss_dict = {}
 
         # position MSE over valid atoms (flat mean, matching F.mse_loss)
@@ -226,21 +246,27 @@ class PhoreGen:
         true_count = batch.atom_counts.astype(jnp.float32)
         norm_count = (true_count - MIN_ATOMS) / (MAX_ATOMS - MIN_ATOMS)
         loss_count = qd_loss(norm_count[:, None], *pred_count, s=160.0,
-                             nd=15.0, factor=mcfg.count_factor)
+                             nd=15.0, factor=mcfg.count_factor,
+                             weights=None if gw is None else gw[:, None])
         # interval hit rate (reference `compute_true_count`,
         # `models/model_utils.py:468-499`)
-        count_hit = jnp.mean(((norm_count[:, None] >= pred_count[0]) &
-                              (norm_count[:, None] <= pred_count[1])
-                              ).astype(jnp.float32))
+        hit = ((norm_count[:, None] >= pred_count[0]) &
+               (norm_count[:, None] <= pred_count[1])).astype(jnp.float32)
+        if gw is None:
+            count_hit = jnp.mean(hit)
+        else:
+            count_hit = (jnp.sum(hit[:, 0] * gw)
+                         / jnp.maximum(jnp.sum(gw), 1.0))
 
         loss_total = (loss_pos + loss_node + loss_edge + loss_count + loss_len)
 
         loss_dict.update(
             loss=loss_total, loss_pos=loss_pos, loss_node=loss_node,
             loss_count=loss_count, count_hit=count_hit,
-            node_acc=exact_match_accuracy(batch.lig_type, pred_node, lmask))
+            node_acc=exact_match_accuracy(batch.lig_type, pred_node, lmask,
+                                          gw))
         if mcfg.bond_diffusion:
             loss_dict["loss_edge"] = loss_edge
             loss_dict["edge_acc"] = exact_match_accuracy(
-                batch.bond_type, pred_edge, emask)
+                batch.bond_type, pred_edge, emask, gw)
         return loss_total, loss_dict

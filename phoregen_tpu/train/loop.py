@@ -165,16 +165,25 @@ class Run:
                 self.logger.log("Profiler trace written to "
                                 f"{self.logger.run_dir}/profile")
             seed = mix_step_seed(cfg.train.seed, epoch, mode, idx)
+            # rows >= real_size in a cycled tail batch are duplicates; the
+            # eval step zero-weights them so epoch means are exact over
+            # distinct samples
+            gmask = np.arange(loader.batch_size) < real_size
             if multi_host:
+                from ..parallel.mesh import local_batch_slice
+                gmask = gmask[local_batch_slice(len(gmask))]
                 # assemble the global array from per-host batch slices
                 # (the loader yields only this process's rows)
                 batch = jax.tree_util.tree_map(
                     lambda x: jax.make_array_from_process_local_data(
                         data_sh, np.asarray(x)), batch)
+                gmask = jax.make_array_from_process_local_data(data_sh,
+                                                               gmask)
             if mode == "train":
                 self.state, metrics = self.train_step(self.state, seed, batch)
             else:
-                metrics = self.eval_step(self.state.params, seed, batch)
+                metrics = self.eval_step(self.state.params, seed, batch,
+                                         gmask)
             self.logger.record(jax.device_get(metrics), mode=mode,
                                weight=real_size / loader.batch_size)
             if mode == "train" and idx and \

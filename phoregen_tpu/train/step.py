@@ -98,17 +98,23 @@ def _batch_shardings(mesh: Mesh, axis: str) -> PhoreGraphBatch:
 
 def make_eval_step(pg: PhoreGen, cfg: Config, mesh: Optional[Mesh] = None
                    ) -> Callable:
-    """Jitted validation step: (params, seed, batch) -> metrics (no grad,
-    no coordinate jitter — reference `run/run.py:113-117` eval mode)."""
-    def step(params, seed: jax.Array, batch: PhoreGraphBatch):
+    """Jitted validation step: (params, seed, batch[, graph_mask]) ->
+    metrics (no grad, no coordinate jitter — reference `run/run.py:113-117`
+    eval mode). `graph_mask` [B] excludes cycled tail-batch duplicate rows
+    from every metric reduction, making epoch means exact over distinct
+    samples (the reference gets this from variable last-batch sizes)."""
+    def step(params, seed: jax.Array, batch: PhoreGraphBatch,
+             graph_mask=None):
         key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
         _, metrics = pg.compute_loss(params, key, batch, lig_noise_std=0.0,
-                                     compute_dtype=cfg.train.dtype)
+                                     compute_dtype=cfg.train.dtype,
+                                     graph_mask=graph_mask)
         return metrics
 
     if mesh is None:
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
     batch_sh = _batch_shardings(mesh, cfg.train.data_axis)
-    return jax.jit(step, in_shardings=(repl, repl, batch_sh),
+    gm_sh = NamedSharding(mesh, P(cfg.train.data_axis))
+    return jax.jit(step, in_shardings=(repl, repl, batch_sh, gm_sh),
                    out_shardings=repl)

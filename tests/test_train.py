@@ -288,3 +288,38 @@ def test_milestone_best_snapshot(tmp_path):
                                            "best_model_epoch0_x.msgpack"))
     names = os.listdir(run_dir)
     assert sum(n.startswith("best_model_epoch") for n in names) == 2
+
+
+def test_eval_graph_mask_excludes_duplicates():
+    """Cycled tail-batch duplicates contribute exactly zero mass to eval
+    metrics: with graph_mask, the metrics are invariant to WHICH sample
+    fills the duplicate slots (code-review r2 finding on loader.py)."""
+    from phoregen_tpu.train.step import make_eval_step
+    cfg = tiny_config()
+    from phoregen_tpu.models.phoregen import PhoreGen
+    pg = PhoreGen(cfg)
+    B = cfg.train.batch_size
+    samples = synthetic_dataset(11, B, max_atoms=12)
+    loader = PhoreDataLoader(samples, cfg, B, shuffle=False)
+    full = next(iter(loader))
+    params = pg.init_params(jax.random.PRNGKey(0), full)
+    eval_fn = make_eval_step(pg, cfg)
+
+    # tail of 3 real samples, padded by cycling sample 0 vs sample 1
+    real = 3
+    tail_a = PhoreDataLoader(
+        [samples[i] for i in ([0, 1, 2] + [0] * (B - real))], cfg, B,
+        shuffle=False)
+    tail_b = PhoreDataLoader(
+        [samples[i] for i in ([0, 1, 2] + [1] * (B - real))], cfg, B,
+        shuffle=False)
+    ba = next(iter(tail_a))
+    bb = next(iter(tail_b))
+    gmask = np.arange(B) < real
+    ma = jax.device_get(eval_fn(params, np.uint32(7), ba, gmask))
+    mb = jax.device_get(eval_fn(params, np.uint32(7), bb, gmask))
+    for k in ma:
+        np.testing.assert_allclose(ma[k], mb[k], rtol=1e-5, err_msg=k)
+    # and the mask actually matters: unmasked metrics differ
+    mc = jax.device_get(eval_fn(params, np.uint32(7), ba, None))
+    assert any(abs(float(ma[k]) - float(mc[k])) > 1e-7 for k in ma)
