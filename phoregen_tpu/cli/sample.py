@@ -66,6 +66,11 @@ def parse_args(argv=None):
                    help="sample with the EMA shadow params")
     p.add_argument("--platform", type=str, default="",
                    help="force a JAX platform (e.g. cpu, tpu)")
+    p.add_argument("--sample_devices", type=int, default=0,
+                   help="shard each sampling pool's batch axis over this "
+                        "many devices (0 = all local devices; 1 = no "
+                        "sharding). Graphs are independent so the reverse "
+                        "scan partitions with zero collectives.")
     return p.parse_args(argv)
 
 
@@ -149,13 +154,21 @@ def main(argv=None):
                     json.loads(args.pos_guidance_opt)]
 
     keep_traj = args.save_traj or args.save_traj_prob > 0
+    mesh = None
+    n_dev = (jax.device_count() if args.sample_devices == 0
+             else args.sample_devices)
+    if n_dev > 1 and args.chunk_steps == 0:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(n_dev, "data")
+        print(f"[I] Pool-parallel sampling over {n_dev} devices")
     pipeline = GenerationPipeline(
         pg, params, guidance=guidance,
         sample_nodes_mode=args.sample_nodes_mode,
         normal_scale=args.normal_scale, add_edge=args.add_edge,
         batch_size=args.batch_size, keep_traj=keep_traj,
         seed=args.seed, unroll=args.unroll,
-        sample_steps=args.sample_steps, chunk_steps=args.chunk_steps)
+        sample_steps=args.sample_steps, chunk_steps=args.chunk_steps,
+        mesh=mesh)
 
     os.makedirs(args.result_path, exist_ok=True)
     n_ok = n_fail = 0

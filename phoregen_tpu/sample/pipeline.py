@@ -38,7 +38,7 @@ class GenerationPipeline:
                  add_edge: str = "predicted", batch_size: int = 30,
                  keep_traj: bool = False, seed: int = 2024,
                  unroll: int = 1, sample_steps: int = 0,
-                 chunk_steps: int = 0):
+                 chunk_steps: int = 0, mesh=None):
         self.pg = pg
         self.params = params
         self.cfg = pg.config
@@ -49,6 +49,12 @@ class GenerationPipeline:
         # Sampler.sample_chunked) — needed under runtimes that cap a single
         # execution's wall-time, harmless on direct hardware
         self.chunk_steps = chunk_steps
+        # mesh != None: shard the pool's batch axis over the device mesh —
+        # graphs are independent, so the reverse scan partitions with zero
+        # collectives (pool-parallel sampling; the sampling analogue of the
+        # DP train step, SURVEY.md §2.7). Pool sizes are padded up to a
+        # multiple of the mesh size and sliced after decode.
+        self.mesh = mesh
         self.sample_nodes_mode = sample_nodes_mode
         self.normal_scale = normal_scale
         self.add_edge = add_edge
@@ -71,6 +77,16 @@ class GenerationPipeline:
                 self._compiled[shape_key] = (
                     lambda p, k, b: self.sampler.sample_chunked(
                         p, k, b, self.chunk_steps))
+            elif self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = NamedSharding(self.mesh, P())
+                axis = self.mesh.axis_names[0]
+                # a single sharding per argument applies to every pytree
+                # leaf: each batch leaf has a leading graph dim -> P(axis)
+                batch_sh = NamedSharding(self.mesh, P(axis))
+                self._compiled[shape_key] = jax.jit(
+                    lambda p, k, b: self.sampler.sample(p, k, b),
+                    in_shardings=(repl, repl, batch_sh))
             else:
                 self._compiled[shape_key] = jax.jit(
                     lambda p, k, b: self.sampler.sample(p, k, b))
@@ -112,17 +128,24 @@ class GenerationPipeline:
         """One compiled sampling batch -> (decoded per-molecule dicts,
         raw sampler output)."""
         ds = self.cfg.dataset
+        n_eff = n_graphs
+        if self.mesh is not None:
+            nd = self.mesh.size
+            n_eff = ((n_graphs + nd - 1) // nd) * nd
         counts = Sampler.sample_counts(
-            self._next_key(), lower, upper, n_graphs,
+            self._next_key(), lower, upper, n_eff,
             mode=self.sample_nodes_mode, scale=self.normal_scale)
         n_lig = pick_bucket(int(counts.max()), ds.ligand_buckets)
-        batch = replicate_phore(phore_sample, n_graphs, counts, n_lig)
-        fn = self._sample_fn((n_graphs, n_lig, ds.max_phore))
+        batch = replicate_phore(phore_sample, n_eff, counts, n_lig)
+        fn = self._sample_fn((n_eff, n_lig, ds.max_phore))
         out = fn(self.params, self._next_key(), batch)
+        # mesh padding rows (>= n_graphs) are dropped before decode
         return decode_batch(
-            np.asarray(out["pred_node"]), np.asarray(out["pred_pos"]),
-            None if out["pred_edge"] is None else np.asarray(out["pred_edge"]),
-            np.asarray(out["lig_mask"]),
+            np.asarray(out["pred_node"])[:n_graphs],
+            np.asarray(out["pred_pos"])[:n_graphs],
+            None if out["pred_edge"] is None
+            else np.asarray(out["pred_edge"])[:n_graphs],
+            np.asarray(out["lig_mask"])[:n_graphs],
             include_bond=self.cfg.model.bond_diffusion), out
 
     # ----- reconstruction + acceptance -----

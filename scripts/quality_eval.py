@@ -61,6 +61,14 @@ def main():
                     help="override denoiser.triplet_knn for the sampling "
                          "pipeline (-1 = config default/exact); the "
                          "quick-trained weights are knn-agnostic")
+    ap.add_argument("--no_guidance", action="store_true",
+                    help="disable the canonical sample.sh guidance recipe "
+                         "(atom_prox 1-3 A + center_prox)")
+    ap.add_argument("--synthetic_phores", type=int, default=2,
+                    help="also sample this many in-distribution synthetic "
+                         "pharmacophores (the quick-trained weights' "
+                         "training distribution) as a pipeline-quality "
+                         "control row set")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -121,12 +129,42 @@ def main():
               f"{time.time() - t0:.0f}s, final loss {loss:.3f}", flush=True)
         params = state.params
 
+    guidance = None
+    if not args.no_guidance:
+        from phoregen_tpu.sample.sampler import GuidanceOpt
+        guidance = [GuidanceOpt(type="atom_prox", min_d=1.0, max_d=3.0),
+                    GuidanceOpt(type="center_prox")]
     pipe = GenerationPipeline(pg, params, batch_size=args.batch_size,
                               add_edge="predicted", seed=args.seed,
-                              chunk_steps=args.chunk_steps)
+                              chunk_steps=args.chunk_steps,
+                              guidance=guidance)
     per_phore, t_start = [], time.time()
+    # in-distribution synthetic phores first (quality control for the
+    # pipeline itself), then the real (OOD for quick-trained weights) set
+    jobs = []
+    if args.synthetic_phores:
+        from phoregen_tpu.data.synthetic import synthetic_raw
+        from phoregen_tpu.data.phore import Phore, PhoreFeature
+        from phoregen_tpu.constants import PHORETYPES_13
+        rng = np.random.default_rng(args.seed + 99)
+        for i in range(args.synthetic_phores):
+            raw = synthetic_raw(rng, "zinc_300", n_atoms=24)
+            feats = []
+            for k in range(raw.phore_x.shape[0]):
+                onehot = raw.phore_x[k, :len(PHORETYPES_13)]
+                t = PHORETYPES_13[int(np.argmax(onehot))]
+                has_norm = bool(raw.phore_x[k, len(PHORETYPES_13) + 2] > 0.5)
+                feats.append(PhoreFeature(
+                    type=t, alpha=float(raw.phore_x[k, len(PHORETYPES_13)]),
+                    weight=1.0, factor=1.0,
+                    pos=tuple(float(x) for x in raw.phore_pos[k]),
+                    has_norm=has_norm,
+                    norm=tuple(float(x) for x in raw.phore_norm[k]),
+                    label="0", anchor_weight=1.0))
+            jobs.append(Phore(name=f"synthetic_{i}", features=feats))
     for path in sorted(glob.glob(args.phore_glob)):
-        phore = parse_phore_file(path)
+        jobs.append(parse_phore_file(path))
+    for phore in jobs:
         res = pipe.generate(phore, args.num_samples)
         mols = res["mols"]
         attempted = res["n_finished"] + res["n_failed"]
