@@ -16,21 +16,42 @@ from ..constants import (NUM_ELEMENT_CLASSES, phore_feat_dim,
 from .batching import pad_sample, pick_bucket, collate
 
 
+# max heavy-atom valence per element class (B C N O F Si P S Cl Br I) —
+# mirrors sample/chem.py::ALLOWED_VALENCES maxima so the generated corpus is
+# sanitize-valid by construction (a perfect model then has a ~100%
+# acceptance ceiling; the old generator placed halogens mid-chain and
+# double bonds on oxygens, capping acceptance far below 100%)
+_MAX_VALENCE = np.array([3, 4, 3, 2, 1, 4, 5, 6, 1, 1, 1])
+
+
 def random_molecule(rng: np.random.Generator, n_atoms: int):
-    """A random chain molecule with ~1.5 A bonds and a few branches."""
+    """A random valence-valid chain molecule with ~1.5 A bonds."""
     # 3D self-avoiding-ish random walk
     pos = np.zeros((n_atoms, 3), np.float32)
     for i in range(1, n_atoms):
         step = rng.normal(size=3)
         step = 1.5 * step / np.linalg.norm(step)
         pos[i] = pos[i - 1] + step
-    # mostly carbon with some heteroatoms (class ids 0..10)
+    # mostly carbon with some heteroatoms (class ids 0..10); interior atoms
+    # (2 chain bonds) must have valence >= 2
     types = rng.choice(NUM_ELEMENT_CLASSES, size=n_atoms,
                        p=_ELEMENT_PROBS).astype(np.int32)
-    # chain bonds (directed both ways), occasional double bond
+    for i in range(n_atoms):
+        interior = 0 < i < n_atoms - 1
+        if interior and _MAX_VALENCE[types[i]] < 2:
+            types[i] = 1  # halogen mid-chain -> carbon
+    # chain bonds (directed both ways); a double bond only where both
+    # endpoints have spare valence after their chain degree
+    chain_deg = np.full(n_atoms, 2, int)
+    chain_deg[0] = chain_deg[-1] = 1 if n_atoms > 1 else 0
+    slack = _MAX_VALENCE[types] - chain_deg
     src, dst, attr = [], [], []
     for i in range(1, n_atoms):
-        order = int(rng.choice([1, 1, 1, 2]))
+        order = 1
+        if slack[i - 1] >= 1 and slack[i] >= 1 and rng.random() < 0.25:
+            order = 2
+            slack[i - 1] -= 1
+            slack[i] -= 1
         src += [i - 1, i]
         dst += [i, i - 1]
         attr += [order, order]
