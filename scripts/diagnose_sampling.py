@@ -74,6 +74,7 @@ def main():
     state = create_train_state(cfg.train, params)
     step = make_train_step(pg, cfg, mesh=None, donate=True)
     import time
+    print("[diag] compiling train step...", flush=True)
     n, t0 = 0, time.time()
     while n < args.train_steps:
         for b in loader:
@@ -103,6 +104,7 @@ def main():
     print(f"[diag] conditioning phore from training sample 0 "
           f"(true molecule: {true_n} atoms)")
 
+    print("[diag] compiling sampler...", flush=True)
     stats = Counter()
     bond_hist = Counter()
     frag_counts = []

@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--eval_batches", type=int, default=4)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--knn", default="0,16,8")
+    ap.add_argument("--bucket", type=int, default=32,
+                    help="ligand bucket (32 = ZINC scale, 80 = fine-tune "
+                         "stage shape with 78-atom molecules)")
     ap.add_argument("--platform", default="")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
@@ -63,7 +66,7 @@ def main():
     from phoregen_tpu.train.step import make_eval_step, make_train_step
 
     cfg = default_config("zinc_300")
-    cfg.dataset.ligand_buckets = [32]
+    cfg.dataset.ligand_buckets = [args.bucket]
     cfg.dataset.max_phore = 32
     cfg.finalize()
 
@@ -80,7 +83,14 @@ def main():
         params = state.params
         src = args.ckpt
     else:
-        samples = synthetic_dataset(args.seed, 512, max_atoms=30)
+        samples = synthetic_dataset(args.seed, 512,
+                                    max_atoms=min(30, args.bucket - 2))
+        if args.bucket > 32:
+            from phoregen_tpu.data.synthetic import synthetic_raw
+            rng0 = np.random.default_rng(args.seed)
+            samples = [synthetic_raw(rng0, "zinc_300",
+                                     n_atoms=args.bucket - 2)
+                       for _ in range(256)]
         loader = PhoreDataLoader(samples, cfg, B, shuffle=True,
                                  seed=args.seed)
         params = pg.init_params(jax.random.PRNGKey(args.seed),
@@ -100,8 +110,14 @@ def main():
         src = f"quick-train x{args.train_steps}"
 
     # fixed eval batches (held-out seed)
-    ev = synthetic_dataset(args.seed + 1, args.eval_batches * B,
-                           max_atoms=30)
+    if args.bucket > 32:
+        from phoregen_tpu.data.synthetic import synthetic_raw
+        rng1 = np.random.default_rng(args.seed + 1)
+        ev = [synthetic_raw(rng1, "zinc_300", n_atoms=args.bucket - 2)
+              for _ in range(args.eval_batches * B)]
+    else:
+        ev = synthetic_dataset(args.seed + 1, args.eval_batches * B,
+                               max_atoms=30)
     ev_loader = PhoreDataLoader(ev, cfg, B, shuffle=False)
     ev_batches = list(ev_loader)[: args.eval_batches]
 
@@ -129,9 +145,12 @@ def main():
         print(json.dumps({("knn%d" % k) if k else "exact": row}),
               flush=True)
 
-    out = {"weights": src, "eval_batches": args.eval_batches,
+    out = {"weights": src, "bucket": args.bucket,
+           "eval_batches": args.eval_batches,
            "batch_size": B, "results": results}
-    path = os.path.join(REPO, "KNN_QUALITY.json")
+    path = os.path.join(
+        REPO, "KNN_QUALITY.json" if args.bucket == 32
+        else f"KNN_QUALITY_nl{args.bucket}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"[knn_delta] wrote {path}", flush=True)
