@@ -66,10 +66,23 @@ class PhoreDiffNet(nn.Module):
             remat_layers=d.remat_layers)
         self.v_inference_0 = nn.Dense(H)
         self.v_inference_2 = nn.Dense(cfg.num_atom_classes)
+        # count-head final biases open the initial interval to
+        # [sigmoid(-2), sigmoid(+2)] ~ [0.12, 0.88] so it covers nearly all
+        # normalized targets at init. With the reference's zero-init
+        # (interval collapsed at [0.5, 0.5]) the QD loss's s=160 sigmoids
+        # saturate for every target outside the interval; the gradient^2
+        # underflows Adam's second moment in f32 and the head freezes
+        # permanently on unlucky inits (observed: loss_count pinned at
+        # relu(0.95)^2*sqrt(B)*15 = 38.29 over 8000 steps). A wide init
+        # gives picp ~ 1 immediately and lets the MPIW term shrink the
+        # interval with healthy gradients — an init choice only, the loss
+        # and architecture are unchanged.
         self.atom_mlp_0 = nn.Dense(2 * H)
-        self.atom_mlp_2 = nn.Dense(1)
+        self.atom_mlp_2 = nn.Dense(
+            1, bias_init=nn.initializers.constant(2.0))
         self.atom_mlp_1_0 = nn.Dense(2 * H)
-        self.atom_mlp_1_2 = nn.Dense(1)
+        self.atom_mlp_1_2 = nn.Dense(
+            1, bias_init=nn.initializers.constant(-2.0))
 
     def _time_embed(self, t: jnp.ndarray) -> jnp.ndarray:
         """t: [B] int -> [B, time_dim] linear Gaussian-grid embedding
