@@ -69,6 +69,10 @@ def main():
                          "pharmacophores (the quick-trained weights' "
                          "training distribution) as a pipeline-quality "
                          "control row set")
+    ap.add_argument("--save_quick", default="/tmp/quality_quicktrain",
+                    help="save the quick-trained state to this checkpoint "
+                         "prefix (reusable via --ckpt on later runs; "
+                         "empty = don't save)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -127,6 +131,11 @@ def main():
         loss = float(metrics["loss"])
         print(f"[quality_eval] quick-train {n_done} steps in "
               f"{time.time() - t0:.0f}s, final loss {loss:.3f}", flush=True)
+        if args.save_quick:
+            from phoregen_tpu.train.checkpoint import save_checkpoint
+            save_checkpoint(args.save_quick, state, 0, cfg.to_dict(), {})
+            print(f"[quality_eval] saved quick-train state to "
+                  f"{args.save_quick}", flush=True)
         params = state.params
 
     guidance = None
