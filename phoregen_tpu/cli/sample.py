@@ -155,11 +155,14 @@ def main(argv=None):
 
     keep_traj = args.save_traj or args.save_traj_prob > 0
     mesh = None
-    n_dev = (jax.device_count() if args.sample_devices == 0
+    n_dev = (jax.local_device_count() if args.sample_devices == 0
              else args.sample_devices)
-    if n_dev > 1 and args.chunk_steps == 0:
+    if n_dev > 1 and args.chunk_steps > 0:
+        print("[W] --sample_devices is ignored with --chunk_steps > 0 "
+              "(chunked execution is single-device); running unsharded")
+    elif n_dev > 1:
         from ..parallel.mesh import make_mesh
-        mesh = make_mesh(n_dev, "data")
+        mesh = make_mesh(n_dev, "data", devices=jax.local_devices())
         print(f"[I] Pool-parallel sampling over {n_dev} devices")
     pipeline = GenerationPipeline(
         pg, params, guidance=guidance,

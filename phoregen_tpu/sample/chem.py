@@ -78,9 +78,10 @@ class SimpleMol:
         return "".join(parts)
 
 
-def _connected(n: int, bonds: Sequence[Tuple[int, int, int]]) -> bool:
-    if n <= 1:
-        return True
+def fragment_count(n: int, bonds: Sequence[Tuple[int, int, int]]) -> int:
+    """Number of connected components over n atoms and undirected bonds."""
+    if n <= 0:
+        return 0
     parent = list(range(n))
 
     def find(a):
@@ -93,8 +94,11 @@ def _connected(n: int, bonds: Sequence[Tuple[int, int, int]]) -> bool:
         ri, rj = find(i), find(j)
         if ri != rj:
             parent[ri] = rj
-    root = find(0)
-    return all(find(i) == root for i in range(n))
+    return len({find(i) for i in range(n)})
+
+
+def _connected(n: int, bonds: Sequence[Tuple[int, int, int]]) -> bool:
+    return fragment_count(n, bonds) <= 1
 
 
 def sanitize_simple(mol: SimpleMol, allow_h_fill: bool = True) -> bool:

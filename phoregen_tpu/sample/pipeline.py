@@ -130,6 +130,10 @@ class GenerationPipeline:
         ds = self.cfg.dataset
         n_eff = n_graphs
         if self.mesh is not None:
+            # round the pool up to a mesh multiple; the extra rows are
+            # real pool members (sampled + decoded + offered for
+            # acceptance), not discarded padding — so the guidance-energy
+            # batch mean and the pool bookkeeping both see the same batch
             nd = self.mesh.size
             n_eff = ((n_graphs + nd - 1) // nd) * nd
         counts = Sampler.sample_counts(
@@ -139,13 +143,10 @@ class GenerationPipeline:
         batch = replicate_phore(phore_sample, n_eff, counts, n_lig)
         fn = self._sample_fn((n_eff, n_lig, ds.max_phore))
         out = fn(self.params, self._next_key(), batch)
-        # mesh padding rows (>= n_graphs) are dropped before decode
         return decode_batch(
-            np.asarray(out["pred_node"])[:n_graphs],
-            np.asarray(out["pred_pos"])[:n_graphs],
-            None if out["pred_edge"] is None
-            else np.asarray(out["pred_edge"])[:n_graphs],
-            np.asarray(out["lig_mask"])[:n_graphs],
+            np.asarray(out["pred_node"]), np.asarray(out["pred_pos"]),
+            None if out["pred_edge"] is None else np.asarray(out["pred_edge"]),
+            np.asarray(out["lig_mask"]),
             include_bond=self.cfg.model.bond_diffusion), out
 
     # ----- reconstruction + acceptance -----
@@ -226,6 +227,8 @@ class GenerationPipeline:
                              if k in ("pred_node", "pred_pos", "pred_edge",
                                       "lig_mask")})
             for gi, info in enumerate(decoded):
+                if len(mols) >= num_samples:
+                    break  # surplus mesh-padding rows beyond the ask
                 try:
                     mol, smi = self.reconstruct(info)
                 except MolReconsError:

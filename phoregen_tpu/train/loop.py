@@ -167,18 +167,22 @@ class Run:
             seed = mix_step_seed(cfg.train.seed, epoch, mode, idx)
             # rows >= real_size in a cycled tail batch are duplicates; the
             # eval step zero-weights them so epoch means are exact over
-            # distinct samples
-            gmask = np.arange(loader.batch_size) < real_size
+            # distinct samples (train steps don't consume the mask)
+            gmask = None
+            if mode != "train":
+                gmask = np.arange(loader.batch_size) < real_size
+                if multi_host:
+                    from ..parallel.mesh import local_batch_slice
+                    gmask = gmask[local_batch_slice(len(gmask))]
             if multi_host:
-                from ..parallel.mesh import local_batch_slice
-                gmask = gmask[local_batch_slice(len(gmask))]
                 # assemble the global array from per-host batch slices
                 # (the loader yields only this process's rows)
                 batch = jax.tree_util.tree_map(
                     lambda x: jax.make_array_from_process_local_data(
                         data_sh, np.asarray(x)), batch)
-                gmask = jax.make_array_from_process_local_data(data_sh,
-                                                               gmask)
+                if gmask is not None:
+                    gmask = jax.make_array_from_process_local_data(data_sh,
+                                                                   gmask)
             if mode == "train":
                 self.state, metrics = self.train_step(self.state, seed, batch)
             else:

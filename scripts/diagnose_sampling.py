@@ -45,7 +45,7 @@ def main():
     from phoregen_tpu.data.synthetic import synthetic_dataset
     from phoregen_tpu.models.phoregen import PhoreGen
     from phoregen_tpu.sample.chem import (SimpleMol, _connected,
-                                          sanitize_simple)
+                                          fragment_count, sanitize_simple)
     from phoregen_tpu.sample.pipeline import GenerationPipeline
     from phoregen_tpu.train.state import create_train_state
     from phoregen_tpu.train.step import make_train_step
@@ -75,7 +75,7 @@ def main():
     step = make_train_step(pg, cfg, mesh=None, donate=True)
     import time
     print("[diag] compiling train step...", flush=True)
-    n, t0 = 0, time.time()
+    n, t0, metrics = 0, time.time(), {}
     while n < args.train_steps:
         for b in loader:
             state, metrics = step(state, np.uint32(n), b)
@@ -87,7 +87,6 @@ def main():
           flush=True)
 
     # sample pools conditioned on a training-set phore (max in-distribution)
-    from phoregen_tpu.data.batching import collate
     pipe = GenerationPipeline(pg, state.params, batch_size=B,
                               add_edge="predicted", seed=args.seed + 1)
     src = samples[0]
@@ -118,31 +117,14 @@ def main():
             if n_kept == 0:
                 stats["empty"] += 1
                 continue
-            bonds = []
-            if info.get("bond_index") is not None and \
-                    info["bond_index"].shape[1] > 0:
-                bi, bt = info["bond_index"], info["bond_type"]
-                for (i, j), t in zip(bi.T, bt):
-                    if i < j:
-                        bonds.append((int(i), int(j), int(t)))
-                        bond_hist[int(t)] += 1
             mol = SimpleMol(list(info["element"]), info["atom_pos"],
                             info.get("bond_index"), info.get("bond_type"))
+            bonds = mol.undirected_bonds()
+            for _, _, t in bonds:
+                bond_hist[int(t)] += 1
             conn = _connected(n_kept, bonds)
             ok_val = sanitize_simple(mol)
-            # fragment count via union-find over bonds
-            parent = list(range(n_kept))
-
-            def find(a):
-                while parent[a] != a:
-                    parent[a] = parent[parent[a]]
-                    a = parent[a]
-                return a
-            for i, j, _ in bonds:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[ri] = rj
-            frags = len({find(i) for i in range(n_kept)})
+            frags = fragment_count(n_kept, bonds)
             frag_counts.append(frags)
             stats["connected" if conn else "disconnected"] += 1
             stats["valence_ok" if ok_val else "valence_bad"] += 1

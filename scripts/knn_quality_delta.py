@@ -83,14 +83,14 @@ def main():
         params = state.params
         src = args.ckpt
     else:
-        samples = synthetic_dataset(args.seed, 512,
-                                    max_atoms=min(30, args.bucket - 2))
         if args.bucket > 32:
             from phoregen_tpu.data.synthetic import synthetic_raw
             rng0 = np.random.default_rng(args.seed)
             samples = [synthetic_raw(rng0, "zinc_300",
                                      n_atoms=args.bucket - 2)
                        for _ in range(256)]
+        else:
+            samples = synthetic_dataset(args.seed, 512, max_atoms=30)
         loader = PhoreDataLoader(samples, cfg, B, shuffle=True,
                                  seed=args.seed)
         params = pg.init_params(jax.random.PRNGKey(args.seed),

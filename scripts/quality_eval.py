@@ -34,13 +34,21 @@ sys.path.insert(0, REPO)
 
 
 def graph_hash(mol) -> str:
-    """Isomorphism-blind but honest uniqueness key: sorted element multiset
-    + sorted undirected typed bond list (SimpleMol backend has no canonical
-    SMILES; with RDKit the caller uses real SMILES instead)."""
+    """Uniqueness key: canonical SMILES when the molecule is an RDKit Mol,
+    else a sorted element-multiset + typed undirected bond list (the
+    SimpleMol backend has no canonical SMILES)."""
+    if not hasattr(mol, "elements"):  # RDKit Mol
+        from rdkit import Chem  # type: ignore
+        return Chem.MolToSmiles(mol)
     els = ",".join(str(int(z)) for z in sorted(mol.elements))
     bonds = sorted((min(i, j), max(i, j), t) for i, j, t in
                    mol.undirected_bonds())
     return els + "|" + ";".join(f"{i}-{j}:{t}" for i, j, t in bonds)
+
+
+def n_heavy_atoms(mol) -> int:
+    return (len(mol.elements) if hasattr(mol, "elements")
+            else mol.GetNumAtoms())
 
 
 def main():
@@ -179,7 +187,7 @@ def main():
         attempted = res["n_finished"] + res["n_failed"]
         lo, up = res["count_interval"]
         hashes = [graph_hash(m) for m in mols]
-        n_atoms = [m.num_atoms() for m in mols]
+        n_atoms = [n_heavy_atoms(m) for m in mols]
         count_hits = [lo <= n <= up for n in n_atoms]
         row = {
             "phore": res["name"],

@@ -223,6 +223,7 @@ def test_mesh_parallel_pool_matches_single():
     np.testing.assert_array_equal(np.asarray(raw_s["pred_node"]),
                                   np.asarray(raw_p["pred_node"]))
 
-    # pool of 5 on an 8-mesh: padded to 8 internally, 5 decoded
+    # pool of 5 on an 8-mesh: rounded up to 8 real pool members (the
+    # surplus is offered for acceptance too; generate() caps at the ask)
     dec5, _ = parallel.sample_pool(ps, 5, lo, up)
-    assert len(dec5) == 5
+    assert len(dec5) == 8
