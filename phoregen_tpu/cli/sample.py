@@ -66,6 +66,11 @@ def parse_args(argv=None):
                    help="sample with the EMA shadow params")
     p.add_argument("--platform", type=str, default="",
                    help="force a JAX platform (e.g. cpu, tpu)")
+    p.add_argument("--recon_workers", type=int, default=0,
+                   help="reconstruct/sanitize accepted pools in this many "
+                        "worker processes (0 = in-process serial); useful "
+                        "when device sampling outpaces host-side RDKit "
+                        "repair loops")
     p.add_argument("--sample_devices", type=int, default=0,
                    help="shard each sampling pool's batch axis over this "
                         "many devices (0 = all local devices; 1 = no "
@@ -171,7 +176,7 @@ def main(argv=None):
         batch_size=args.batch_size, keep_traj=keep_traj,
         seed=args.seed, unroll=args.unroll,
         sample_steps=args.sample_steps, chunk_steps=args.chunk_steps,
-        mesh=mesh)
+        mesh=mesh, recon_workers=args.recon_workers)
 
     os.makedirs(args.result_path, exist_ok=True)
     n_ok = n_fail = 0

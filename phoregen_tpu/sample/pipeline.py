@@ -28,6 +28,8 @@ from .decode import decode_batch
 from .reconstruct import reconstruct_from_generated_with_edges
 from .chem import MolReconsError, mol_to_smiles
 from .sampler import GuidanceOpt, Sampler
+
+
 from .writers import append_sdf, append_timing, write_sdf, write_smiles
 
 
@@ -38,7 +40,7 @@ class GenerationPipeline:
                  add_edge: str = "predicted", batch_size: int = 30,
                  keep_traj: bool = False, seed: int = 2024,
                  unroll: int = 1, sample_steps: int = 0,
-                 chunk_steps: int = 0, mesh=None):
+                 chunk_steps: int = 0, mesh=None, recon_workers: int = 0):
         self.pg = pg
         self.params = params
         self.cfg = pg.config
@@ -55,6 +57,20 @@ class GenerationPipeline:
         # DP train step, SURVEY.md §2.7). Pool sizes are padded up to a
         # multiple of the mesh size and sliced after decode.
         self.mesh = mesh
+        # recon_workers > 0: reconstruction/sanitization runs in a process
+        # pool — at compute-bound sampling rates the host-side RDKit repair
+        # loops are the pipeline bottleneck (SURVEY.md §7.4); the device
+        # samples the next pool while workers chew on the previous one
+        self.recon_workers = recon_workers
+        self._recon_pool = None
+        if recon_workers > 0:
+            import concurrent.futures as cf
+            import multiprocessing as mp
+            # spawn (not fork): the parent holds live device runtimes that
+            # do not survive fork; workers import only the jax-free
+            # reconstruction stack (see sample/__init__ lazy exports)
+            self._recon_pool = cf.ProcessPoolExecutor(
+                recon_workers, mp_context=mp.get_context("spawn"))
         self.sample_nodes_mode = sample_nodes_mode
         self.normal_scale = normal_scale
         self.add_edge = add_edge
@@ -226,14 +242,26 @@ class GenerationPipeline:
                 pool.append({k: np.asarray(v) for k, v in raw.items()
                              if k in ("pred_node", "pred_pos", "pred_edge",
                                       "lig_mask")})
+            results = None
+            if self._recon_pool is not None:
+                from .reconstruct import recon_task
+                results = list(self._recon_pool.map(
+                    recon_task, decoded, [self.add_edge] * len(decoded)))
             for gi, info in enumerate(decoded):
                 if len(mols) >= num_samples:
                     break  # surplus mesh-padding rows beyond the ask
-                try:
-                    mol, smi = self.reconstruct(info)
-                except MolReconsError:
-                    n_failed += 1
-                    continue
+                if results is not None:
+                    ok, payload = results[gi]
+                    if not ok:
+                        n_failed += 1
+                        continue
+                    mol, smi = payload
+                else:
+                    try:
+                        mol, smi = self.reconstruct(info)
+                    except MolReconsError:
+                        n_failed += 1
+                        continue
                 mols.append(mol)
                 smiles_list.append(smi)
                 info["accepted"] = True

@@ -356,3 +356,21 @@ def mol_is_connected(mol) -> bool:
         smiles = C.MolToSmiles(mol)
         return smiles is not None and "." not in smiles
     return False
+
+
+def recon_task(info: Dict, add_edge: str):
+    """Process-pool unit of work: reconstruction + acceptance for one
+    decoded molecule — (True, (mol, smiles)) or (False, reason).
+
+    Lives in this jax-free module so spawned reconstruction workers
+    (`GenerationPipeline(recon_workers=...)`) never initialize a JAX
+    backend; SimpleMol and RDKit Mol both pickle."""
+    from .chem import mol_to_smiles
+    try:
+        mol = reconstruct_from_generated_with_edges(info, add_edge=add_edge)
+        smiles = mol_to_smiles(mol)
+        if smiles is None or "." in smiles:
+            raise MolReconsError("disconnected molecule")
+        return True, (mol, smiles)
+    except MolReconsError as e:
+        return False, str(e)

@@ -13,6 +13,8 @@ from phoregen_tpu.sample.pipeline import GenerationPipeline
 from phoregen_tpu.sample.sampler import GuidanceOpt
 from tests.test_train import tiny_config
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 PHORE_TEXT = """pipe_phore
 AR\t1.0\t1\t1\t1.0\t2.0\t3.0\t1\t0.0\t0.0\t1.0\t0\t1
 HD\t0.7\t1\t1\t-1.0\t0.5\t2.0\t0\t0.0\t0.0\t0.0\t0\t1
@@ -227,3 +229,42 @@ def test_mesh_parallel_pool_matches_single():
     # surplus is offered for acceptance too; generate() caps at the ask)
     dec5, _ = parallel.sample_pool(ps, 5, lo, up)
     assert len(dec5) == 8
+
+
+def test_recon_worker_module_initializes_no_backend():
+    """Spawned reconstruction workers must not initialize a JAX backend
+    (this sandbox's sitecustomize pre-imports the jax package in every
+    process, so the meaningful invariant is zero backend clients, and that
+    the sample package's jax-importing modules stay unloaded)."""
+    import subprocess, sys
+    code = (
+        "import sys; import phoregen_tpu.sample.reconstruct;\n"
+        "assert 'phoregen_tpu.sample.sampler' not in sys.modules\n"
+        "assert 'phoregen_tpu.sample.pipeline' not in sys.modules\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, list(xb._backends)\n"
+        "print('ok')")
+    out = subprocess.run([sys.executable, "-c", code], cwd=REPO_ROOT,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
+
+
+def test_parallel_reconstruction_matches_serial(pipeline):
+    """recon_workers: same accept/fail bookkeeping as in-process serial."""
+    from phoregen_tpu.sample.reconstruct import recon_task
+    phore = parse_phore_text(PHORE_TEXT, name="par_phore")
+    ps = pipeline.prepare_phore(phore)
+    lo, up = pipeline._count_interval(ps)
+    decoded, _ = pipeline.sample_pool(ps, 4, lo, up)
+    serial = [recon_task(info, "predicted") for info in decoded]
+
+    import concurrent.futures as cf
+    import multiprocessing as mp
+    with cf.ProcessPoolExecutor(
+            2, mp_context=mp.get_context("spawn")) as pool:
+        par = list(pool.map(recon_task, decoded, ["predicted"] * len(decoded)))
+    assert [ok for ok, _ in par] == [ok for ok, _ in serial]
+    for (ok_p, pl_p), (ok_s, pl_s) in zip(par, serial):
+        if ok_p:
+            assert pl_p[1] == pl_s[1]  # same smiles
