@@ -195,3 +195,24 @@ def test_knn_pool_dtype_follow():
         assert np.isfinite(b).all()
         denom = np.maximum(np.abs(a).max(), 1e-3)
         assert np.abs(a - b).max() / denom < 0.1
+
+
+def test_pre_att_bond_head_runs():
+    """bond_net_type='pre_att' (distance RBF + mean endpoint features)
+    compiles and produces finite logits of the same shapes as 'lin'
+    (reference `models/diffusion.py:61-77,225-241`)."""
+    cfg = tiny_config()
+    cfg.model.bond_net_type = "pre_att"
+    pg = PhoreGen(cfg)
+    rng = np.random.default_rng(4)
+    batch = make_batch(rng)
+    params = pg.init_params(jax.random.PRNGKey(0), batch)
+    node, pos, edge, cnt = jax.jit(
+        lambda p, b: forward(pg, p, b))(params, batch)
+    assert edge.shape == (2, 8, 8, 6)
+    assert np.isfinite(np.asarray(edge)).all()
+    # and the training loss closes over it
+    loss, metrics = jax.jit(
+        lambda p, k, b: pg.compute_loss(p, k, b))(
+            params, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(loss))
