@@ -216,3 +216,27 @@ def test_pre_att_bond_head_runs():
         lambda p, k, b: pg.compute_loss(p, k, b))(
             params, jax.random.PRNGKey(1), batch)
     assert np.isfinite(float(loss))
+
+
+def test_alternative_flag_branches_run():
+    """Flip the optional architecture switches off/on relative to their
+    defaults (phore self-encoder off, global edge weight off, direction
+    match off, x2h out FC on, bond-length loss on) — every branch must
+    compile and produce a finite loss."""
+    cfg = tiny_config()
+    m = cfg.model
+    m.hp_emb_with_pos = False
+    m.bond_len_loss = True
+    d = m.denoiser
+    d.use_global_ew = False
+    d.direction_match = False
+    d.x2h_out_fc = True
+    pg = PhoreGen(cfg)
+    rng = np.random.default_rng(6)
+    batch = make_batch(rng)
+    params = pg.init_params(jax.random.PRNGKey(0), batch)
+    loss, metrics = jax.jit(
+        lambda p, k, b: pg.compute_loss(p, k, b))(
+            params, jax.random.PRNGKey(2), batch)
+    assert np.isfinite(float(loss))
+    assert "loss_len" in metrics and np.isfinite(float(metrics["loss_len"]))
