@@ -46,23 +46,26 @@ def build_init_prob(num_classes: int, init_prob: Union[str, np.ndarray, None]
     return p
 
 
-def build_transition_mats(betas: np.ndarray, num_classes: int,
-                          init_prob: Union[str, np.ndarray, None]):
-    """Host-side float64 construction of Q_t, cumulative Q-bar_t, Q_t^T."""
-    prob = build_init_prob(num_classes, init_prob)
+def _one_step_mats(betas: np.ndarray, prob: np.ndarray):
+    """Per-step Q_t and cumulative Q-bar_t (host-side float64) — the one
+    construction shared by training tables and strided-sampling tables."""
+    num_classes = prob.shape[0]
     one_step = []
     for beta_t in betas:
         mat = beta_t * np.repeat(prob[None, :], num_classes, axis=0)
         mat = mat + np.eye(num_classes) * (1.0 - beta_t)
         one_step.append(mat)
-    one_step = np.stack(one_step, axis=0)  # (T, K, K)
-
-    q_mat_t = one_step[0]
-    q_mats = [q_mat_t]
+    cum = [one_step[0]]
     for t in range(1, len(betas)):
-        q_mat_t = q_mat_t @ one_step[t]
-        q_mats.append(q_mat_t)
-    q_mats = np.stack(q_mats, axis=0)
+        cum.append(cum[-1] @ one_step[t])
+    return np.stack(one_step, axis=0), np.stack(cum, axis=0)
+
+
+def build_transition_mats(betas: np.ndarray, num_classes: int,
+                          init_prob: Union[str, np.ndarray, None]):
+    """Host-side float64 construction of Q_t, cumulative Q-bar_t, Q_t^T."""
+    prob = build_init_prob(num_classes, init_prob)
+    one_step, q_mats = _one_step_mats(betas, prob)
     transpose_one_step = np.transpose(one_step, (0, 2, 1))
     return prob, q_mats, transpose_one_step
 
@@ -204,17 +207,10 @@ def build_strided_tables(betas: np.ndarray, num_classes: int,
     """
     betas = np.asarray(betas, np.float64)
     prob = build_init_prob(num_classes, init_prob)
-    one_step = []
-    for beta_t in betas:
-        mat = beta_t * np.repeat(prob[None, :], num_classes, axis=0)
-        mat = mat + np.eye(num_classes) * (1.0 - beta_t)
-        one_step.append(mat)
-    cum = [one_step[0]]
-    for t in range(1, len(betas)):
-        cum.append(cum[-1] @ one_step[t])
+    one_step, cum = _one_step_mats(betas, prob)
 
     ts = np.asarray(timesteps, np.int64)
-    assert ts[-1] == 0 and (np.diff(ts) < 0).all(), \
+    assert ts[-1] == 0 and (len(ts) == 1 or (np.diff(ts) < 0).all()), \
         "timesteps must descend to 0"
     trans_T, cum_prev = [], []
     for i in range(len(ts) - 1):
@@ -223,16 +219,15 @@ def build_strided_tables(betas: np.ndarray, num_classes: int,
         for s in range(tp + 1, t + 1):
             q = q @ one_step[s]
         trans_T.append(q.T)
-        # Q̄_{t_prev}; t_prev == 0 -> one-step cumulative at 0 (matches the
-        # reference's q_mats[max(t-1, 0)] convention)
-        cum_prev.append(cum[tp] if tp > 0 else cum[0])
+        # Q̄_{t_prev} (the reference's q_mats[max(t-1, 0)] convention keeps
+        # cum[0] for t_prev == 0)
+        cum_prev.append(cum[tp])
     f32 = lambda a: jnp.asarray(np.stack(a), jnp.float32)
+    K = num_classes
+    if not trans_T:  # S == 1: only the final recon-override step runs
+        empty = jnp.zeros((0, K, K), jnp.float32)
+        return empty, empty
     return f32(trans_T), f32(cum_prev)
-
-
-def _log_add_exp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    m = jnp.maximum(a, b)
-    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
 
 
 def _log1m_exp(log_a: np.ndarray) -> np.ndarray:
@@ -278,13 +273,13 @@ class UniformCategoricalTransition:
     def q_vt_pred(self, log_v0: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         la = _texp(self.log_alphas_bar[t], log_v0.ndim)
         l1a = _texp(self.log_1m_alphas_bar[t], log_v0.ndim)
-        return _log_add_exp(log_v0 + la, l1a - np.log(self.num_classes))
+        return jnp.logaddexp(log_v0 + la, l1a - np.log(self.num_classes))
 
     def q_v_pred_one_timestep(self, log_vt: jnp.ndarray, t: jnp.ndarray
                               ) -> jnp.ndarray:
         la = _texp(self.log_alphas[t], log_vt.ndim)
         l1a = _texp(self.log_1m_alphas[t], log_vt.ndim)
-        return _log_add_exp(log_vt + la, l1a - np.log(self.num_classes))
+        return jnp.logaddexp(log_vt + la, l1a - np.log(self.num_classes))
 
     def add_noise(self, key: jax.Array, v: jnp.ndarray, t: jnp.ndarray):
         log_v0 = index_to_log_onehot(v, self.num_classes)
@@ -299,6 +294,13 @@ class UniformCategoricalTransition:
 
     def q_v_posterior(self, log_v0: jnp.ndarray, log_vt: jnp.ndarray,
                       t: jnp.ndarray, v0_prob: bool = True) -> jnp.ndarray:
+        # v0_prob=False hardens log_v0 to its argmax one-hot before mixing
+        # (same extension semantics as CategoricalTransition.q_v_posterior;
+        # the reference's legacy class has no such switch)
+        if not v0_prob:
+            log_v0 = clamped_log(jax.nn.one_hot(
+                jnp.argmax(log_v0, axis=-1), self.num_classes,
+                dtype=jnp.float32))
         t_minus_1 = jnp.maximum(t - 1, 0)
         log_qvtmin = self.q_vt_pred(log_v0, t_minus_1)
         time_zero = _texp(t == 0, log_v0.ndim)

@@ -32,6 +32,7 @@ def pairwise_sq_dist(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def knn_neighbors(x: jnp.ndarray, mask: jnp.ndarray, k: int,
+                  return_d2: bool = False,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Masked k-NN over padded point sets.
 
@@ -43,6 +44,7 @@ def knn_neighbors(x: jnp.ndarray, mask: jnp.ndarray, k: int,
     Returns:
       nbr_idx: [B, N, K] int32 source-node indices (arbitrary where invalid).
       nbr_mask: [B, N, K] bool; True where the edge nbr_idx[b,i,m] -> i exists.
+      (with return_d2: also the masked [B, N, N] squared distances)
     """
     B, N = mask.shape
     k = min(k, N - 1)  # a graph of N nodes has at most N-1 neighbours
@@ -52,6 +54,8 @@ def knn_neighbors(x: jnp.ndarray, mask: jnp.ndarray, k: int,
     d2 = jnp.where(valid_pair, d2, _INF)
     neg_d2, nbr_idx = lax.top_k(-d2, k)  # nearest k along src axis
     nbr_mask = neg_d2 > -_INF * 0.5
+    if return_d2:
+        return nbr_idx.astype(jnp.int32), nbr_mask, d2
     return nbr_idx.astype(jnp.int32), nbr_mask
 
 
@@ -62,7 +66,8 @@ def radius_neighbors(x: jnp.ndarray, mask: jnp.ndarray, k: int, r: float,
     Keeps the k nearest neighbours within radius r; the fixed width keeps
     shapes static while matching radius-graph semantics for typical densities.
     """
-    nbr_idx, nbr_mask = knn_neighbors(x, mask, k)
-    d2 = pairwise_sq_dist(x)
+    nbr_idx, nbr_mask, d2 = knn_neighbors(x, mask, k, return_d2=True)
+    # d2 is masked to +inf on invalid pairs; those are already excluded by
+    # nbr_mask, so reusing it avoids a second pairwise pass
     sel = jnp.take_along_axis(d2, nbr_idx, axis=-1)
     return nbr_idx, nbr_mask & (sel <= r * r)

@@ -41,10 +41,10 @@ NEG_INF = -1e9
 CROSS_SQ_EPS = 1e-12
 
 
-def _angle_encode(angle: jnp.ndarray, freq_bands: jnp.ndarray) -> jnp.ndarray:
-    a = angle[..., None]
-    return jnp.concatenate([a, jnp.sin(a * freq_bands),
-                            jnp.cos(a * freq_bands)], axis=-1)
+# single source of truth for the angular features: the XLA path, the kNN
+# pool (models/layers.py) and the dense path all share rbf.angular_encoding;
+# only the Pallas kernel body re-derives it in-register.
+from .rbf import angular_encoding as _angle_encode
 
 
 def _rsqrt_refined(x):

@@ -242,3 +242,45 @@ def test_continuous_categorical_space_end_to_end():
     assert np.isfinite(np.asarray(out["pred_node"])).all()
     assert np.isfinite(np.asarray(out["pred_pos"])).all()
     assert np.isfinite(np.asarray(out["final_state"]["h_node"])).all()
+
+
+def test_strided_tables_single_step_and_shared_construction():
+    """S==1 returns empty per-step tables instead of crashing, and the
+    strided construction shares the exact matrices with the training
+    tables (same one-step/cumulative code path)."""
+    import numpy as np
+    from phoregen_tpu.diffusion.categorical import (build_strided_tables,
+                                                    build_transition_mats)
+    betas = np.linspace(1e-4, 5e-2, 16)
+    tT, cp = build_strided_tables(betas, 6, "absorb", np.array([0]))
+    assert tT.shape == (0, 6, 6) and cp.shape == (0, 6, 6)
+    # stride-1 full schedule reproduces the training tables exactly
+    ts = np.arange(15, -1, -1)
+    tT, cp = build_strided_tables(betas, 6, "absorb", ts)
+    _, q_mats, q_onestep_T = build_transition_mats(betas, 6, "absorb")
+    np.testing.assert_allclose(np.asarray(tT[0]), q_onestep_T[15], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cp[-1]), q_mats[0], rtol=1e-6)
+
+
+def test_uniform_transition_v0_prob_false():
+    """UniformCategoricalTransition.q_v_posterior(v0_prob=False) hardens
+    log_v0 to its argmax one-hot (same switch semantics as the matrix
+    transition) instead of silently ignoring the flag."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from phoregen_tpu.diffusion.categorical import \
+        UniformCategoricalTransition
+    tr = UniformCategoricalTransition.create(
+        np.linspace(1e-3, 5e-2, 8), num_classes=4)
+    # a soft (non-degenerate) v0 distribution
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    log_vt = jnp.log(jax.nn.one_hot(jnp.asarray([2]), 4) + 1e-30)
+    t = jnp.asarray([5])
+    soft = tr.q_v_posterior(logits, log_vt, t, v0_prob=True)
+    hard = tr.q_v_posterior(logits, log_vt, t, v0_prob=False)
+    assert not np.allclose(np.asarray(soft), np.asarray(hard))
+    # hardened == posterior of the exact one-hot
+    onehot = jnp.log(jax.nn.one_hot(jnp.asarray([0]), 4) + 1e-30)
+    ref = tr.q_v_posterior(onehot, log_vt, t, v0_prob=True)
+    np.testing.assert_allclose(np.asarray(hard), np.asarray(ref), atol=1e-5)
