@@ -130,7 +130,8 @@ class PhoreDiffNet(nn.Module):
         return self.predict_atom_count(h_p, phore_x, phore_mask)
 
     def __call__(self, h_node_pert, pos_pert, lig_mask, h_edge_pert,
-                 t, phore_x, phore_pos, phore_norm, phore_mask):
+                 t, phore_x, phore_pos, phore_norm, phore_mask,
+                 h_phore_emb=None, compute_count=True):
         """
         Args:
           h_node_pert: [B, NL, Ka] perturbed atom one-hots.
@@ -139,6 +140,14 @@ class PhoreDiffNet(nn.Module):
           h_edge_pert: [B, NL, NL, Kb] perturbed dense bond one-hots.
           t: [B] int32 timestep per graph.
           phore_x/pos/norm/mask: [B, NP, *].
+          h_phore_emb: optional precomputed `embed_phore` output. The phore
+            embedding (incl. the hp_emb_with_pos self-encoder) depends only
+            on the pharmacophore, which is CONSTANT through a reverse
+            process — the sampler computes it once outside the scan and
+            passes it here, removing it from every loop iteration
+            (bit-identical math; XLA does not hoist it on its own).
+          compute_count: skip the (equally loop-invariant) atom-count head
+            when False; the count tuple is then (None, None).
         Returns: (pred_node [B,NL,Ka], pred_pos [B,NL,3],
                   pred_edge [B,NL,NL,Kb] or None,
                   (count_lower, count_upper) each [B, 1])
@@ -159,7 +168,10 @@ class PhoreDiffNet(nn.Module):
             [node_emb, jnp.broadcast_to(t_emb[:, None, :], (B, NL, time_dim))],
             axis=-1)
 
-        h_phore_emb = self.embed_phore(phore_x, phore_pos, phore_mask)
+        if h_phore_emb is None:
+            h_phore_emb = self.embed_phore(phore_x, phore_pos, phore_mask)
+        else:
+            h_phore_emb = h_phore_emb.astype(cdt)
 
         if cfg.bond_diffusion:
             edge_emb = self.edge_embedder(h_edge_pert)
@@ -209,5 +221,7 @@ class PhoreDiffNet(nn.Module):
             pred_edge = self.bond_inference_2(
                 shifted_softplus(self.bond_inference_0(bond_in)))
 
-        pred_count = self.predict_atom_count(h_phore_emb, phore_x, phore_mask)
+        pred_count = (self.predict_atom_count(h_phore_emb, phore_x,
+                                              phore_mask)
+                      if compute_count else (None, None))
         return pred_node, final_pos, pred_edge, pred_count

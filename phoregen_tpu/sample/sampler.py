@@ -198,6 +198,13 @@ class Sampler:
         phore_x_c = batch.phore_x.astype(cdt)
         phore_pos_c = batch.phore_pos
         phore_norm_c = batch.phore_norm
+        # the phore embedding (incl. the hp_emb_with_pos self-encoder) and
+        # the count head are loop-invariant during the reverse process —
+        # compute the embedding ONCE here; as a closure constant of the scan
+        # body it is hoisted out of all S-1 iterations (bit-identical math)
+        h_phore_const = pg.net.apply(
+            net_params, phore_x_c, phore_pos_c, batch.phore_mask,
+            method="embed_phore")
 
         discrete = pg.categorical_space == "discrete"
 
@@ -259,7 +266,8 @@ class Sampler:
             pred_node, pred_pos, pred_edge, _ = pg.net.apply(
                 net_params, h_node_pert, pos_pert, lmask,
                 h_edge_pert, t, phore_x_c, phore_pos_c, phore_norm_c,
-                batch.phore_mask)
+                batch.phore_mask, h_phore_emb=h_phore_const,
+                compute_count=False)
             pred_node = pred_node.astype(jnp.float32)
             pred_pos = pred_pos.astype(jnp.float32)
             if pred_edge is not None:
