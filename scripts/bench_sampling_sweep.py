@@ -73,6 +73,10 @@ CONFIGS = {
     # superlinear in B, so the optimum may sit below 16)
     "knn8_noscan_b8": (False, 8, 8, "float32", 0, {"scan_layers": False}),
     "knn8_noscan_b24": (False, 8, 24, "float32", 0, {"scan_layers": False}),
+    # realistic pharmacophore size (testset mean ~93 points) on the
+    # promoted config
+    "knn8_noscan_np96": (False, 8, 16, "float32", 0,
+                         {"scan_layers": False, "max_phore": 96}),
 }
 
 
@@ -91,7 +95,10 @@ def bench_one(name, use_pallas, knn, batch_size, dtype, chunk, extra=None,
     cfg.model.denoiser.triplet_knn = knn
     cfg.model.compute_dtype = dtype
     for k, v in (extra or {}).items():
-        setattr(cfg.model.denoiser, k, v)
+        if k == "max_phore":
+            cfg.dataset.max_phore = v
+        else:
+            setattr(cfg.model.denoiser, k, v)
 
     pg = PhoreGen(cfg)
     samples = synthetic_dataset(0, batch_size, max_atoms=30)
