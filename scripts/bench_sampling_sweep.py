@@ -77,6 +77,11 @@ CONFIGS = {
     # promoted config
     "knn8_noscan_np96": (False, 8, 16, "float32", 0,
                          {"scan_layers": False, "max_phore": 96}),
+    # strided sampling on the promoted config (exact multi-step posteriors)
+    "knn8_noscan_s100": (False, 8, 16, "float32", 0,
+                         {"scan_layers": False, "sample_steps": 100}),
+    "knn8_noscan_s250": (False, 8, 16, "float32", 0,
+                         {"scan_layers": False, "sample_steps": 250}),
 }
 
 
@@ -100,13 +105,15 @@ def bench_one(name, use_pallas, knn, batch_size, dtype, chunk, extra=None,
         else:
             setattr(cfg.model.denoiser, k, v)
 
+    extra = dict(extra or {})
+    sample_steps = extra.pop("sample_steps", 0)
     pg = PhoreGen(cfg)
     samples = synthetic_dataset(0, batch_size, max_atoms=30)
     loader = PhoreDataLoader(samples, cfg, batch_size, shuffle=False)
     batch = next(iter(loader))
     key = jax.random.PRNGKey(0)
     params = pg.init_params(key, batch)
-    sampler = Sampler(pg)
+    sampler = Sampler(pg, sample_steps=sample_steps)
     if chunk > 0:
         run = lambda p, k, b: sampler.sample_chunked(p, k, b, chunk)
     else:
