@@ -292,6 +292,10 @@ class Config:
             "denoiser.triplet_knn must be >= 0 (0 = exact full-k)")
         assert m.denoiser.triplet_mode in ("factorized", "dense"), (
             f"unknown denoiser.triplet_mode {m.denoiser.triplet_mode!r}")
+        assert m.denoiser.cutoff_mode in ("knn", "radius"), (
+            f"unsupported denoiser.cutoff_mode {m.denoiser.cutoff_mode!r} "
+            "(supported: knn, radius; the reference's 'hybrid' is not "
+            "selected by any shipped config)")
         assert m.denoiser.hidden_dim == m.hidden_dim, (
             "denoiser.hidden_dim must equal model.hidden_dim "
             "(reference models/diffusion.py:51)")

@@ -80,6 +80,12 @@ class UniDenoiser(nn.Module):
         B, N, H = h.shape
         NP = num_phore
         NL = N - NP
+        if self.direction_match and phore_norm is None:
+            # fail loudly in BOTH layer-stack paths: the scan path used to
+            # substitute zero norms silently (a different model), while the
+            # unscanned path crashed with an opaque concatenate TypeError
+            raise ValueError(
+                "direction_match=True requires phore_norm (got None)")
         offsets, coeff = gaussian_smearing_offsets(fix_offset=True)
         offsets = jnp.asarray(offsets)
 
@@ -125,7 +131,21 @@ class UniDenoiser(nn.Module):
             edge_pred = MLP(1, self.hidden_dim, norm=self.norm,
                             name="edge_pred_layer")
         for _ in range(self.num_blocks):
-            nbr_idx, nbr_mask = knn_neighbors(x, node_mask, self.knn)
+            # reference `_connect_edge` (`uni_denoiser.py:351-361`): knn,
+            # radius, or hybrid graph over current positions. Radius maps to
+            # the k-capped static-shape form (radius semantics at typical
+            # densities); hybrid (ligand-knn + full phore affiliation) is
+            # rejected loudly — no shipped config selects it.
+            if self.cutoff_mode == "knn":
+                nbr_idx, nbr_mask = knn_neighbors(x, node_mask, self.knn)
+            elif self.cutoff_mode == "radius":
+                from ..ops.knn import radius_neighbors
+                nbr_idx, nbr_mask = radius_neighbors(x, node_mask, self.knn,
+                                                     self.r_max)
+            else:
+                raise NotImplementedError(
+                    f"cutoff_mode {self.cutoff_mode!r} (supported: knn, "
+                    "radius)")
             # 4-way edge type: (src_lig,dst_lig)->0, (1,0)->1, (0,1)->2, (0,0)->3
             src_lig = jnp.take(is_lig, nbr_idx)          # [B,N,K]
             dst_lig = jnp.broadcast_to(is_lig[None, :, None], src_lig.shape)
@@ -269,12 +289,26 @@ class _AttentionLayer(nn.Module):
 
         # ligand-bond message passing on the ligand block
         h_lig = h[:, NP:]
-        nhb_l = NodeUpdateDense(
+        node_bond = NodeUpdateDense(
             hidden_dim=self.hidden_dim, n_heads=self.n_heads, norm=self.norm,
             act_fn=self.act_fn, out_fc=self.x2h_out_fc,
-            name="node_layer_with_bond")(h_lig, h_bond, pair_mask)
-        new_h_with_bond = jnp.concatenate(
-            [jnp.zeros((B, NP, H), h.dtype), nhb_l], axis=1)
+            name="node_layer_with_bond")
+        if self.x2h_out_fc:
+            # reference parity (`uni_denoiser.py:66-69`): with out_fc the
+            # output MLP runs over ALL composed nodes, so phore rows (zero
+            # bond messages) still receive node_output([0, h_p]) — run the
+            # module on the composed graph with the bond grid confined to
+            # the ligand block (phore rows see an empty edge set)
+            N = h.shape[1]
+            hb_full = jnp.zeros((B, N, N) + h_bond.shape[3:], h_bond.dtype)
+            hb_full = hb_full.at[:, NP:, NP:].set(h_bond)
+            pm_full = jnp.zeros((B, N, N), bool)
+            pm_full = pm_full.at[:, NP:, NP:].set(pair_mask)
+            new_h_with_bond = node_bond(h, hb_full, pm_full)
+        else:
+            nhb_l = node_bond(h_lig, h_bond, pair_mask)
+            new_h_with_bond = jnp.concatenate(
+                [jnp.zeros((B, NP, H), h.dtype), nhb_l], axis=1)
 
         # the triplet path mixes position-derived f32 features in; cast its
         # delta back so the h_bond carry dtype is stable under bf16 compute

@@ -211,7 +211,11 @@ class PhoreDiffNet(nn.Module):
                     fix_offset=False)
                 d = final_pos[:, None, :, :] - final_pos[:, :, None, :]
                 dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
-                r_feat = gaussian_smearing(dist, jnp.asarray(offs), coeff)
+                # drop to the compute dtype at the feature boundary like
+                # every other position-derived feature — an f32 r_feat
+                # would silently promote the whole O(NL^2) bond head
+                r_feat = gaussian_smearing(dist, jnp.asarray(offs), coeff
+                                           ).astype(final_h.dtype)
                 hi = final_h[:, None, :, :]  # dst
                 hj = final_h[:, :, None, :]  # src
                 hij = jnp.broadcast_to((hi + hj) / 2, (B, NL, NL, H))

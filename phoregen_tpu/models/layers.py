@@ -296,7 +296,6 @@ class BondUpdateTriplet(nn.Module):
         act = ACTS[self.act_fn]
         offsets, coeff = gaussian_smearing_offsets(fix_offset=True)
         offsets = jnp.asarray(offsets)
-        freq_bands = jnp.asarray(angular_encoding_freq_bands(self.num_ang_funcs))
 
         # pairwise distances (shared by both modes); the distance features
         # drop to the compute dtype at the feature boundary (pos stays f32)
@@ -307,6 +306,8 @@ class BondUpdateTriplet(nn.Module):
 
         if self.mode == "factorized":
             return self._factorized(h, h_bond, r_feat, pos, node_mask, act)
+        freq_bands = jnp.asarray(
+            angular_encoding_freq_bands(self.num_ang_funcs))  # dense only
 
         # angle at i between j->i and k->i, via |a×b|^2 = |a|^2|b|^2-(a.b)^2
         # dot[j,k,i] = rel[j,i] . rel[k,i]
@@ -320,7 +321,6 @@ class BondUpdateTriplet(nn.Module):
         angle = jnp.arctan2(cross, dot)                        # [B,j,k,i]
         a_feat = angular_encoding(angle, freq_bands
                                   ).astype(h.dtype)            # [B,j,k,i,13]
-        ang_dim = a_feat.shape[-1]
 
         # triplet mask: k,j,i valid; k!=j; j!=i; k!=i
         # (reference `uni_denoiser.py:115`)

@@ -240,3 +240,24 @@ def test_alternative_flag_branches_run():
             params, jax.random.PRNGKey(2), batch)
     assert np.isfinite(float(loss))
     assert "loss_len" in metrics and np.isfinite(float(metrics["loss_len"]))
+
+
+def test_radius_cutoff_mode_runs():
+    """cutoff_mode='radius' builds a k-capped radius graph (reference
+    `_connect_edge` radius branch) instead of being silently ignored."""
+    cfg = tiny_config()
+    cfg.model.denoiser.cutoff_mode = "radius"
+    cfg.model.denoiser.r_max = 6.0
+    pg = PhoreGen(cfg)
+    rng = np.random.default_rng(8)
+    batch = make_batch(rng)
+    params = pg.init_params(jax.random.PRNGKey(0), batch)
+    node, pos, edge, cnt = jax.jit(
+        lambda p, b: forward(pg, p, b))(params, batch)
+    assert np.isfinite(np.asarray(node)).all()
+    # unsupported modes fail loudly at finalize
+    cfg2 = tiny_config()
+    cfg2.model.denoiser.cutoff_mode = "hybrid"
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        cfg2.finalize()
