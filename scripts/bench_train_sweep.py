@@ -39,6 +39,10 @@ CONFIGS = {
     "nl80_knn32_f32": (80, 8, False, 32, "float32"),
     "nl80_knn32_bf16": (80, 8, False, 32, "bfloat16"),
     "nl80_knn16_bf16": (80, 8, False, 16, "bfloat16"),
+    "nl48_xla_f32": (48, 8, False, 0, "float32"),
+    "nl48_xla_bf16": (48, 8, False, 0, "bfloat16"),
+    "nl64_xla_f32": (64, 8, False, 0, "float32"),
+    "nl64_knn32_bf16": (64, 8, False, 32, "bfloat16"),
 }
 
 
