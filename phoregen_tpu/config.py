@@ -220,6 +220,14 @@ class DatasetConfig:
     # to the smallest bucket >= n_atoms; phore points padded to max_phore.
     ligand_buckets: List[int] = field(default_factory=lambda: [16, 32, 48, 64, 80])
     max_phore: int = 96
+    # Hermetic-corpus generator for environments without the ZINC/PDBBind
+    # archives: "chains" = the legacy chain pseudo-molecules (fast, tiny
+    # phores), "mixed" = branched/ring molecules, half anchored to the 685
+    # bundled real pharmacophores (data/real_phores/), half free-grown with
+    # derived phores + EX shells (realistic 10-96-point conditioning).
+    corpus: str = "mixed"
+    # fraction of "mixed" samples anchored to real phores
+    real_frac: float = 0.5
 
 
 @dataclass

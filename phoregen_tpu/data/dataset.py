@@ -115,14 +115,22 @@ def get_dataset(cfg: Config, synthetic_size: int = 0
                            List[RawSample]]:
     """(train, valid, test) RawSample lists."""
     ds = cfg.dataset
+
+    def _hermetic(seed: int, n: int):
+        if ds.corpus == "mixed":
+            from .realcorpus import mixed_corpus
+            return mixed_corpus(seed, n, ds.data_name,
+                                max_phore=ds.max_phore,
+                                max_atoms=min(ds.max_atom,
+                                              max(ds.ligand_buckets)),
+                                real_frac=ds.real_frac)
+        return synthetic_dataset(seed, n, ds.data_name, max_atoms=syn_max)
+
     syn_max = min(ds.max_atom, max(ds.ligand_buckets))
     if synthetic_size:
         n = synthetic_size
-        return (synthetic_dataset(0, n, ds.data_name, max_atoms=syn_max),
-                synthetic_dataset(1, max(n // 10, 8), ds.data_name,
-                                  max_atoms=syn_max),
-                synthetic_dataset(2, max(n // 10, 8), ds.data_name,
-                                  max_atoms=syn_max))
+        return (_hermetic(0, n), _hermetic(1, max(n // 10, 8)),
+                _hermetic(2, max(n // 10, 8)))
 
     if ds.data_name == "zinc_300" and ds.zinc_train_filelist:
         sets = []
@@ -141,8 +149,7 @@ def get_dataset(cfg: Config, synthetic_size: int = 0
             sets.append(PairDataset(pairs, cfg).materialize())
         return tuple(sets)
 
-    # fallback: synthetic corpus (RDKit-less environments, smoke tests)
-    print("[W] no dataset filelists configured; using synthetic pairs")
-    return (synthetic_dataset(0, 256, ds.data_name, max_atoms=syn_max),
-            synthetic_dataset(1, 32, ds.data_name, max_atoms=syn_max),
-            synthetic_dataset(2, 32, ds.data_name, max_atoms=syn_max))
+    # fallback: hermetic corpus (RDKit-less environments, smoke tests)
+    print("[W] no dataset filelists configured; using hermetic "
+          f"'{ds.corpus}' pairs")
+    return (_hermetic(0, 256), _hermetic(1, 32), _hermetic(2, 32))

@@ -127,8 +127,22 @@ class GenerationPipeline:
     # ----- phore preparation -----
     def prepare_phore(self, phore: Phore) -> Dict:
         """Featurize + center + pad one pharmacophore into a sample dict with
-        empty ligand stubs (reference `datasets/get_phore_data.py:12-105`)."""
+        empty ligand stubs (reference `datasets/get_phore_data.py:12-105`).
+
+        Phores with more points than the static `max_phore` shape keep every
+        typed feature and have their EX volumes subsampled (same convention
+        as training, `data/realcorpus.py::cap_phore` — real testset phores
+        run up to 203 points, median 90, almost all EX)."""
         ds = self.cfg.dataset
+        n_cr = sum(1 for f in phore.features if f.type == "CR")
+        if len(phore.features) - n_cr > ds.max_phore:
+            from ..data.realcorpus import cap_phore
+            rng = np.random.default_rng(self.seed)
+            capped = cap_phore(phore, ds.max_phore, rng)
+            print(f"[W] {phore.name}: {len(phore.features)} phore points > "
+                  f"max_phore={ds.max_phore}; EX volumes subsampled to "
+                  f"{len(capped.features)}")
+            phore = capped
         feats, pos, norm, center = featurize_phore(
             phore, ds.data_name, norm_mode="new")
         pos = pos - center
