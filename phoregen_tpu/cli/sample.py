@@ -13,6 +13,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -121,6 +122,30 @@ def main(argv=None):
     from ..data.batching import collate
     from ..data.synthetic import synthetic_sample
 
+    if args.ckpt.endswith(".pt"):
+        # reference PyTorch checkpoint (reference `sample_all.py:58-59`):
+        # torch-free zip+pickle reader + name map (utils/torch_import.py).
+        # Requires --config with denoiser.triplet_mode='dense' (the
+        # reference's exact-width triplet parameterization).
+        if not args.config:
+            raise SystemExit(
+                "[E] loading a reference .pt checkpoint requires --config "
+                "(a YAML matching the reference architecture, with "
+                "model.denoiser.triplet_mode: dense)")
+        from ..utils.torch_import import load_reference_checkpoint
+        cfg = load_config(args.config)
+        if args.triplet_knn >= 0:
+            cfg.model.denoiser.triplet_knn = args.triplet_knn
+        pg = PhoreGen(cfg)
+        params, pt_meta = load_reference_checkpoint(args.ckpt, cfg)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        if args.use_ema:
+            raise SystemExit("[E] --use_ema: reference .pt checkpoints "
+                             "are imported as bare model weights")
+        print(f"[I] Imported reference checkpoint {args.ckpt} "
+              f"(epoch {pt_meta.get('epoch', '?')})")
+        return run_pipeline(args, cfg, pg, params)
+
     with open(args.ckpt + ".json") as f:
         meta = json.load(f)
     if args.config:
@@ -152,7 +177,12 @@ def main(argv=None):
     else:
         params = state.params
     print(f"[I] Loaded checkpoint {args.ckpt} (epoch {meta.get('epoch')})")
+    return run_pipeline(args, cfg, pg, params)
 
+
+def run_pipeline(args, cfg, pg, params):
+    from ..sample.pipeline import GenerationPipeline
+    from ..sample.sampler import GuidanceOpt
     guidance = None
     if args.pos_guidance_opt:
         guidance = [GuidanceOpt(**g) for g in
