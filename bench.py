@@ -53,6 +53,7 @@ def main():
         os.environ.get("BENCH_SCAN_LAYERS", "0") == "1")
     cfg.model.denoiser.use_pallas_triplet = (
         os.environ.get("BENCH_PALLAS", "0") == "1")
+    cfg.model.compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
 
     pg = PhoreGen(cfg)

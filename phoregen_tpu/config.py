@@ -106,6 +106,15 @@ class DenoiserConfig:
     # directly attached chips the HBM-traffic argument may win — flip it
     # there and measure.
     use_pallas_triplet: bool = False
+    # Fused whole-layer-stack execution for the sampling hot path
+    # (ops/layer_stack.py): 'none' (default; per-layer flax modules),
+    # 'xla' (packed-weights scan), 'pallas' (one TPU kernel per block).
+    # Fused modes freeze the layer-internal kNN index sets per block
+    # (block_knn_freeze semantics) and require the flagship configuration.
+    fused_stack: str = "none"
+    # Freeze layer-internal kNN tables (dire 3-NN, kNN triplet sources)
+    # once per block in the standard path (see UniDenoiser).
+    block_knn_freeze: bool = False
     # TPU-specific triplet-layer mode: 'factorized' (width-Wt per-triplet
     # features, the fast default) or 'dense' (full hidden-width per-triplet
     # MLPs, the exact-width reference analogue). See BondUpdateTriplet.
@@ -300,10 +309,9 @@ class Config:
             "denoiser.triplet_knn must be >= 0 (0 = exact full-k)")
         assert m.denoiser.triplet_mode in ("factorized", "dense"), (
             f"unknown denoiser.triplet_mode {m.denoiser.triplet_mode!r}")
-        assert m.denoiser.cutoff_mode in ("knn", "radius"), (
+        assert m.denoiser.cutoff_mode in ("knn", "radius", "hybrid"), (
             f"unsupported denoiser.cutoff_mode {m.denoiser.cutoff_mode!r} "
-            "(supported: knn, radius; the reference's 'hybrid' is not "
-            "selected by any shipped config)")
+            "(supported: knn, radius, hybrid)")
         assert m.denoiser.hidden_dim == m.hidden_dim, (
             "denoiser.hidden_dim must equal model.hidden_dim "
             "(reference models/diffusion.py:51)")

@@ -29,12 +29,18 @@ from .layers import (MLP, BondUpdateTriplet, NodeUpdateDense, NodeUpdateKNN,
 
 
 def neighbor_centroid_norm(pos_l: jnp.ndarray, mask_l: jnp.ndarray,
-                           k: int = 3) -> jnp.ndarray:
+                           k: int = 3, frozen=None) -> jnp.ndarray:
     """Mean of the k nearest ligand neighbours minus own position.
 
     Parity: `get_neib_norm` (reference `models/common.py:300-304`).
+    `frozen`: optional precomputed (idx, mask) neighbour table — the
+    `block_knn_freeze` mode evaluates the centroid at *current* positions
+    over a neighbour set fixed once per block.
     """
-    nbr_idx, nbr_mask = knn_neighbors(pos_l, mask_l, k)
+    if frozen is not None:
+        nbr_idx, nbr_mask = frozen
+    else:
+        nbr_idx, nbr_mask = knn_neighbors(pos_l, mask_l, k)
     xj = gather_nodes(pos_l, nbr_idx)                 # [B,NL,k,3]
     centroid = masked_mean(xj, nbr_mask[..., None], axis=2)
     return centroid - pos_l
@@ -64,6 +70,21 @@ class UniDenoiser(nn.Module):
     scan_layers: bool = True
     triplet_knn: int = 0
     remat_layers: bool = True
+    # freeze the layer-internal kNN tables (dire 3-NN centroid set, kNN
+    # triplet source set) once per block instead of recomputing from the
+    # drifting positions at every layer: positions move little within a
+    # block, and a fixed neighbour set is what makes the fused Pallas layer
+    # stack (ops/layer_stack.py) a single kernel. Values still use current
+    # positions; only the index SETS are frozen.
+    block_knn_freeze: bool = False
+    # fused whole-stack execution (ops/layer_stack.py): 'none' = per-layer
+    # flax modules (training path — differentiable, remat-able);
+    # 'xla' = packed-weights lax.scan (parity/fallback); 'pallas' = single
+    # TPU kernel per block (the sampling hot path). Both fused modes imply
+    # block_knn_freeze semantics and require the flagship configuration
+    # (norm, direction_match, include_h_node, factorized kNN triplet,
+    # scan_layers for stacked params).
+    fused_stack: str = "none"
 
     @nn.compact
     def __call__(self, h, x, h_bond, node_mask, phore_norm=None,
@@ -109,6 +130,7 @@ class UniDenoiser(nn.Module):
                         use_pallas_triplet=self.use_pallas_triplet,
                         triplet_knn=self.triplet_knn,
                         triplet_pool_follow_dtype=self.triplet_pool_follow_dtype)
+        body_kw = dict(layer_kw, block_knn_freeze=self.block_knn_freeze)
         if self.scan_layers:
             # one nn.scan'd layer with stacked params: the compiled body is
             # ~num_layers x smaller (same math, same per-layer params);
@@ -120,8 +142,8 @@ class UniDenoiser(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.num_layers,
-                in_axes=(nn.broadcast,) * 8,
-            )(name="layers", **layer_kw)
+                in_axes=(nn.broadcast,) * 12,
+            )(name="layers", **body_kw)
         else:
             layers = [
                 _AttentionLayer(**layer_kw, name=f"layer_{i}")
@@ -142,15 +164,28 @@ class UniDenoiser(nn.Module):
                 from ..ops.knn import radius_neighbors
                 nbr_idx, nbr_mask = radius_neighbors(x, node_mask, self.knn,
                                                      self.r_max)
+            elif self.cutoff_mode == "hybrid":
+                # ligand: fully-connected + k nearest phore; phore: knn over
+                # all (reference `uni_denoiser.py:356-358`)
+                from ..ops.knn import hybrid_neighbors
+                nbr_idx, nbr_mask = hybrid_neighbors(x, node_mask, NP,
+                                                     self.knn)
             else:
                 raise NotImplementedError(
                     f"cutoff_mode {self.cutoff_mode!r} (supported: knn, "
-                    "radius)")
+                    "radius, hybrid)")
             # 4-way edge type: (src_lig,dst_lig)->0, (1,0)->1, (0,1)->2, (0,0)->3
             src_lig = jnp.take(is_lig, nbr_idx)          # [B,N,K]
             dst_lig = jnp.broadcast_to(is_lig[None, :, None], src_lig.shape)
             etype = 3 - 2 * src_lig.astype(jnp.int32) - dst_lig.astype(jnp.int32)
             edge_type = jax.nn.one_hot(etype, 4, dtype=h.dtype)
+
+            lig3 = trip = None
+            if self.block_knn_freeze:
+                pos_l0 = x[:, NP:]
+                lig3 = knn_neighbors(pos_l0, mask_l, 3)
+                if 0 < self.triplet_knn < NL - 1:
+                    trip = knn_neighbors(pos_l0, mask_l, self.triplet_knn)
 
             e_w = None
             if self.use_global_ew:
@@ -163,22 +198,84 @@ class UniDenoiser(nn.Module):
                                               ).astype(h.dtype)
                 e_w = jax.nn.sigmoid(edge_pred(dist_feat)[..., 0])  # [B,N,K]
 
+            if self.fused_stack != "none" and not self.is_initializing():
+                h, x, h_bond = self._apply_fused_stack(
+                    h, x, h_bond, node_mask, mask_l, nbr_idx, nbr_mask,
+                    edge_type, e_w, phore_norm, NP)
+                continue
+
             if self.scan_layers:
                 # ones = no reweighting (the None case of the unscanned path)
                 ew_b = (e_w if e_w is not None
                         else jnp.ones(nbr_idx.shape, h.dtype))
+                dummy_i = jnp.zeros((B, NL, 1), jnp.int32)
+                dummy_m = jnp.zeros((B, NL, 1), bool)
                 (h, h_bond, x), _ = scanned(
                     (h, h_bond, x), edge_type, nbr_idx, nbr_mask, mask_l,
                     pair_mask, node_mask, ew_b,
                     phore_norm if phore_norm is not None
-                    else jnp.zeros((B, NP, 3), x.dtype))
+                    else jnp.zeros((B, NP, 3), x.dtype),
+                    lig3[0] if lig3 else dummy_i,
+                    lig3[1] if lig3 else dummy_m,
+                    trip[0] if trip else dummy_i,
+                    trip[1] if trip else dummy_m)
             else:
                 for layer in layers:
                     h, h_bond, x = layer(h, x, edge_type, nbr_idx, nbr_mask,
                                          h_bond, mask_l, pair_mask, node_mask,
                                          e_w=e_w, phore_norm=phore_norm,
-                                         num_phore=NP)
+                                         num_phore=NP, lig3_frozen=lig3,
+                                         trip_frozen=trip)
         return {"x": x, "h": h, "h_bond": h_bond}
+
+    def _apply_fused_stack(self, h, x, h_bond, node_mask, mask_l, nbr_idx,
+                           nbr_mask, edge_type, e_w, phore_norm, NP):
+        """Run the whole layer stack through ops/layer_stack.py (packed
+        weights read from this module's own stacked params). Requires the
+        flagship configuration; raises otherwise."""
+        from ..ops import layer_stack as ls
+
+        required = dict(scan_layers=self.scan_layers, norm=self.norm,
+                        direction_match=self.direction_match,
+                        include_h_node=self.h_node_in_bond_net,
+                        factorized=self.triplet_mode == "factorized",
+                        triplet_knn=self.triplet_knn > 0,
+                        no_x2h_out_fc=not self.x2h_out_fc,
+                        use_global_ew=self.use_global_ew)
+        missing = [k for k, v in required.items() if not v]
+        if missing:
+            raise ValueError(
+                f"denoiser.fused_stack={self.fused_stack!r} requires the "
+                f"flagship configuration; unmet: {missing}")
+        B, N, H = h.shape
+        NL = N - NP
+        K = nbr_idx.shape[-1]
+        raw = self.variables["params"]["layers"]["layer"]
+        dims = ls.StackDims(NP=NP, NL=NL, K=K, K8=self.triplet_knn,
+                            H=self.hidden_dim, heads=self.n_heads,
+                            Wt=self.triplet_width)
+        fe = self.num_r_gaussian * self.edge_feat_dim + self.edge_feat_dim + 9
+        packed = ls.pack_layer_params(raw, self.hidden_dim, fe)
+        tables = ls.build_block_tables(x, node_mask, nbr_idx, nbr_mask, NP,
+                                       self.triplet_knn)
+        tables["edge_type"] = edge_type.astype(jnp.float32
+                                               ).reshape(B, N * K, 4)
+        tables["e_w"] = (e_w.astype(jnp.float32) if e_w is not None
+                         else jnp.ones((B, N, K), jnp.float32)
+                         ).reshape(B, N * K, 1)
+        tables["phore_norm"] = phore_norm.astype(jnp.float32)
+        hf, xf, hbf = (h.astype(jnp.float32), x.astype(jnp.float32),
+                       h_bond.astype(jnp.float32))
+        if self.fused_stack == "pallas":
+            h2, x2, hb2 = ls.layer_stack_pallas(packed, hf, xf, hbf,
+                                                tables, dims)
+        elif self.fused_stack == "xla":
+            h2, x2, hb2 = ls.layer_stack_xla(packed, hf, xf, hbf, tables,
+                                             dims)
+        else:
+            raise ValueError(f"unknown fused_stack {self.fused_stack!r}")
+        return (h2.astype(h.dtype), x2.astype(x.dtype),
+                hb2.astype(h_bond.dtype))
 
 
 class _ScanLayerBody(nn.Module):
@@ -202,12 +299,17 @@ class _ScanLayerBody(nn.Module):
     triplet_width: int = 32
     use_pallas_triplet: bool = False
     triplet_knn: int = 0
+    block_knn_freeze: bool = False
 
     @nn.compact
     def __call__(self, carry, edge_type, nbr_idx, nbr_mask, mask_l,
-                 pair_mask, node_mask, e_w, phore_norm):
+                 pair_mask, node_mask, e_w, phore_norm,
+                 lig3_idx, lig3_mask, trip_idx, trip_mask):
         h, h_bond, x = carry
         NP = phore_norm.shape[1]
+        lig3 = (lig3_idx, lig3_mask) if self.block_knn_freeze else None
+        trip = ((trip_idx, trip_mask)
+                if self.block_knn_freeze and self.triplet_knn > 0 else None)
         h, h_bond, x = _AttentionLayer(
             hidden_dim=self.hidden_dim, n_heads=self.n_heads,
             num_r_gaussian=self.num_r_gaussian,
@@ -222,7 +324,8 @@ class _ScanLayerBody(nn.Module):
             triplet_pool_follow_dtype=self.triplet_pool_follow_dtype,
             name="layer")(
             h, x, edge_type, nbr_idx, nbr_mask, h_bond, mask_l, pair_mask,
-            node_mask, e_w=e_w, phore_norm=phore_norm, num_phore=NP)
+            node_mask, e_w=e_w, phore_norm=phore_norm, num_phore=NP,
+            lig3_frozen=lig3, trip_frozen=trip)
         return (h, h_bond, x), None
 
 
@@ -250,7 +353,7 @@ class _AttentionLayer(nn.Module):
     @nn.compact
     def __call__(self, h, x, edge_type, nbr_idx, nbr_mask, h_bond,
                  mask_l, pair_mask, node_mask, e_w=None, phore_norm=None,
-                 num_phore: int = 0):
+                 num_phore: int = 0, lig3_frozen=None, trip_frozen=None):
         B, N, H = h.shape
         NP = num_phore
         NL = N - NP
@@ -270,7 +373,8 @@ class _AttentionLayer(nn.Module):
         if self.direction_match:
             # phore norms vs ligand neighbour-centroid norms
             # (reference `models/common.py:300-326`)
-            neib = neighbor_centroid_norm(x[:, NP:], mask_l, k=3)
+            neib = neighbor_centroid_norm(x[:, NP:], mask_l, k=3,
+                                          frozen=lig3_frozen)
             comb_norm = jnp.concatenate([phore_norm, neib], axis=1)  # [B,N,3]
             vec1 = gather_nodes(comb_norm, nbr_idx)          # norm[src]
             vec2 = jnp.broadcast_to(comb_norm[:, :, None, :], vec1.shape)
@@ -318,7 +422,8 @@ class _AttentionLayer(nn.Module):
             mode=self.triplet_mode, width=self.triplet_width,
             use_pallas=self.use_pallas_triplet, knn_k=self.triplet_knn,
             pool_follow_dtype=self.triplet_pool_follow_dtype,
-            name="bond_layer")(h_lig, h_bond, x[:, NP:], mask_l
+            name="bond_layer")(h_lig, h_bond, x[:, NP:], mask_l,
+                               trip_frozen=trip_frozen
                                ).astype(h_bond.dtype)
 
         new_h = h + nn.Dense(self.hidden_dim, name="lin_node")(

@@ -63,7 +63,9 @@ class PhoreDiffNet(nn.Module):
             scan_layers=d.scan_layers,
             triplet_knn=d.triplet_knn,
             triplet_pool_follow_dtype=d.triplet_pool_follow_dtype,
-            remat_layers=d.remat_layers)
+            remat_layers=d.remat_layers,
+            block_knn_freeze=d.block_knn_freeze,
+            fused_stack=d.fused_stack)
         self.v_inference_0 = nn.Dense(H)
         self.v_inference_2 = nn.Dense(cfg.num_atom_classes)
         # count-head final biases open the initial interval to

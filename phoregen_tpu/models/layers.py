@@ -73,12 +73,97 @@ class MLP(nn.Module):
         return x
 
 
+class _RawDense(nn.Module):
+    """Kernel/bias parameters with `nn.Dense`'s exact names and inits,
+    returned raw so callers can apply them as split/fused matmuls."""
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _RawLayerNorm(nn.Module):
+    """Scale/bias parameters with `nn.LayerNorm`'s exact names."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+class _EdgeMLPParams(nn.Module):
+    """Parameter container with `MLP`'s exact tree
+    ({Dense_0, LayerNorm_0, Dense_1}) — the 2-layer edge MLPs are *applied*
+    by the parent as split matmuls (see module docstring) but their
+    checkpoints stay interchangeable with the concat implementation."""
+    in_dim: int
+    hidden_dim: int
+    out_dim: int
+    norm: bool
+
+    @nn.compact
+    def __call__(self):
+        k0, b0 = _RawDense(self.in_dim, self.hidden_dim, name="Dense_0")()
+        ln = (_RawLayerNorm(self.hidden_dim, name="LayerNorm_0")()
+              if self.norm else None)
+        k1, b1 = _RawDense(self.hidden_dim, self.out_dim, name="Dense_1")()
+        return k0, b0, ln, k1, b1
+
+
+_LN_EPS = 1e-6  # flax LayerNorm default
+
+
+def _ln_act_blocks(x, lns, act):
+    """LayerNorm (fast-variance, per trailing-H block) + activation over
+    x [..., P, H]; lns = P (scale, bias) pairs or (None, ...) when norm=False.
+    Matches `nn.LayerNorm(use_fast_variance=True)` numerics exactly."""
+    if lns[0] is not None:
+        scale = jnp.stack([s for s, _ in lns])
+        bias = jnp.stack([b for _, b in lns])
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mu)
+        x = (x - mu) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
+    return act(x)
+
+
+def _pair_first_layer(edge_feat, h, p_k, p_v, fe, hn):
+    """First linear layer of two parallel edge MLPs (k and v), applied as
+    split matmuls over `concat([edge_feat, h_i, h_j])` without materializing
+    the concat: the edge term runs on the grid once for both MLPs, the node
+    terms run on the node axis.
+
+    Returns (edge_pre [.., 2H], node_i [B,N,2H], node_j [B,N,2H]): caller
+    broadcasts/gathers the node terms according to its grid layout.
+    """
+    k0k, b0k = p_k[0], p_k[1]
+    k0v, b0v = p_v[0], p_v[1]
+    we = jnp.concatenate([k0k[:fe], k0v[:fe]], axis=1)        # [Fe, 2H]
+    wn = jnp.concatenate([k0k[fe:fe + hn], k0v[fe:fe + hn],
+                          k0k[fe + hn:], k0v[fe + hn:]], axis=1)
+    nproj = h @ wn                                            # [B, N, 4H]
+    hh = nproj.shape[-1] // 2
+    bias = jnp.concatenate([b0k, b0v])
+    edge_pre = edge_feat @ we + bias
+    return edge_pre, nproj[..., :hh], nproj[..., hh:]
+
+
 class NodeUpdateKNN(nn.Module):
     """Multi-head attention node update over the k-NN neighbour table.
 
     Parity: `NodeUpdateLayer` (reference `models/uni_denoiser.py:13-72`) with
     scatter_softmax over incoming edges replaced by masked softmax over the
-    fixed K axis.
+    fixed K axis. The k/v MLPs' first layer is applied as split matmuls
+    (edge-grid term once for both, node terms on the node axis) — identical
+    algebra to `MLP(concat([edge_feat, h_i, h_j]))` with the same parameter
+    tree, at a fraction of the grid FLOPs/bytes (parity pinned by
+    tests/test_layers_fused.py).
     """
     hidden_dim: int
     n_heads: int
@@ -92,15 +177,24 @@ class NodeUpdateKNN(nn.Module):
         B, N, H = h.shape
         K = nbr_idx.shape[-1]
         d_head = self.hidden_dim // self.n_heads
+        act = ACTS[self.act_fn]
+        fe = edge_feat.shape[-1]
+        in_dim = fe + 2 * H
 
-        hj = gather_nodes(h, nbr_idx)                       # [B,N,K,H] sources
-        hi = jnp.broadcast_to(h[:, :, None, :], hj.shape)   # destinations
-        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
-
-        k = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
-                act_fn=self.act_fn, name="hk")(kv_input)
-        v = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
-                act_fn=self.act_fn, name="hv")(kv_input)
+        p_k = _EdgeMLPParams(in_dim, self.hidden_dim, self.hidden_dim,
+                             self.norm, name="hk")()
+        p_v = _EdgeMLPParams(in_dim, self.hidden_dim, self.hidden_dim,
+                             self.norm, name="hv")()
+        edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k, p_v,
+                                                     fe, H)
+        pre = (edge_pre + node_i[:, :, None, :]
+               + gather_nodes(node_j, nbr_idx))               # [B,N,K,2H]
+        x = _ln_act_blocks(pre.reshape(B, N, K, 2, self.hidden_dim),
+                           (p_k[2], p_v[2]), act)
+        k1 = jnp.stack([p_k[3], p_v[3]])                      # [2, H, H]
+        b1 = jnp.stack([p_k[4], p_v[4]])
+        kv = jnp.einsum("bnkph,pho->bnkpo", x, k1) + b1       # [B,N,K,2,H]
+        k, v = kv[..., 0, :], kv[..., 1, :]
         if e_w is not None:
             v = v * e_w[..., None]
         q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
@@ -139,15 +233,24 @@ class NodeUpdateDense(nn.Module):
         """h: [B,N,H]; edge_feat: [B,N_src,N_dst,Fe]; pair_mask same grid."""
         B, N, H = h.shape
         d_head = self.hidden_dim // self.n_heads
+        act = ACTS[self.act_fn]
+        fe = edge_feat.shape[-1]
+        in_dim = fe + 2 * H
 
-        hi = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))  # dst along axis 2
-        hj = jnp.broadcast_to(h[:, :, None, :], (B, N, N, H))  # src along axis 1
-        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
-
-        k = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
-                act_fn=self.act_fn, name="hk")(kv_input)
-        v = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
-                act_fn=self.act_fn, name="hv")(kv_input)
+        p_k = _EdgeMLPParams(in_dim, self.hidden_dim, self.hidden_dim,
+                             self.norm, name="hk")()
+        p_v = _EdgeMLPParams(in_dim, self.hidden_dim, self.hidden_dim,
+                             self.norm, name="hv")()
+        edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k, p_v,
+                                                     fe, H)
+        # h_i = destination (axis 2), h_j = source (axis 1)
+        pre = (edge_pre + node_i[:, None, :, :] + node_j[:, :, None, :])
+        x = _ln_act_blocks(pre.reshape(B, N, N, 2, self.hidden_dim),
+                           (p_k[2], p_v[2]), act)
+        k1 = jnp.stack([p_k[3], p_v[3]])
+        b1 = jnp.stack([p_k[4], p_v[4]])
+        kv = jnp.einsum("bsdph,pho->bsdpo", x, k1) + b1
+        k, v = kv[..., 0, :], kv[..., 1, :]
         if e_w is not None:
             v = v * e_w[..., None]
         q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
@@ -184,15 +287,22 @@ class PosUpdateKNN(nn.Module):
         B, N, H = h.shape
         K = nbr_idx.shape[-1]
         d_head = self.hidden_dim // self.n_heads
+        act = ACTS[self.act_fn]
+        fe = edge_feat.shape[-1]
+        in_dim = fe + 2 * H
 
-        hj = gather_nodes(h, nbr_idx)
-        hi = jnp.broadcast_to(h[:, :, None, :], hj.shape)
-        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
-
-        k = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
-                act_fn=self.act_fn, name="xk")(kv_input)
-        v = MLP(self.n_heads, self.hidden_dim, norm=self.norm,
-                act_fn=self.act_fn, name="xv")(kv_input)      # [B,N,K,heads]
+        p_k = _EdgeMLPParams(in_dim, self.hidden_dim, self.hidden_dim,
+                             self.norm, name="xk")()
+        p_v = _EdgeMLPParams(in_dim, self.hidden_dim, self.n_heads,
+                             self.norm, name="xv")()
+        edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k, p_v,
+                                                     fe, H)
+        pre = (edge_pre + node_i[:, :, None, :]
+               + gather_nodes(node_j, nbr_idx))
+        x = _ln_act_blocks(pre.reshape(B, N, K, 2, self.hidden_dim),
+                           (p_k[2], p_v[2]), act)
+        k = x[..., 0, :] @ p_k[3] + p_k[4]                    # [B,N,K,H]
+        v = x[..., 1, :] @ p_v[3] + p_v[4]                    # [B,N,K,heads]
         if e_w is not None:
             v = v * e_w[..., None]
         v = v[..., None] * rel_x[:, :, :, None, :]            # [B,N,K,heads,3]
@@ -219,15 +329,21 @@ class PosUpdateDense(nn.Module):
         """rel_x: [B,src,dst,3] = x[dst] - x[src]; edge_feat on same grid."""
         B, N, H = h.shape
         d_head = self.hidden_dim // self.n_heads
+        act = ACTS[self.act_fn]
+        fe = edge_feat.shape[-1]
+        in_dim = fe + 2 * H
 
-        hi = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))
-        hj = jnp.broadcast_to(h[:, :, None, :], (B, N, N, H))
-        kv_input = jnp.concatenate([edge_feat, hi, hj], axis=-1)
-
-        k = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
-                act_fn=self.act_fn, name="xk")(kv_input)
-        v = MLP(self.n_heads, self.hidden_dim, norm=self.norm,
-                act_fn=self.act_fn, name="xv")(kv_input)      # [B,N,N,heads]
+        p_k = _EdgeMLPParams(in_dim, self.hidden_dim, self.hidden_dim,
+                             self.norm, name="xk")()
+        p_v = _EdgeMLPParams(in_dim, self.hidden_dim, self.n_heads,
+                             self.norm, name="xv")()
+        edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k, p_v,
+                                                     fe, H)
+        pre = (edge_pre + node_i[:, None, :, :] + node_j[:, :, None, :])
+        x = _ln_act_blocks(pre.reshape(B, N, N, 2, self.hidden_dim),
+                           (p_k[2], p_v[2]), act)
+        k = x[..., 0, :] @ p_k[3] + p_k[4]
+        v = x[..., 1, :] @ p_v[3] + p_v[4]                    # [B,N,N,heads]
         if e_w is not None:
             v = v * e_w[..., None]
         v = v[..., None] * rel_x[:, :, :, None, :]            # [B,N,N,heads,3]
@@ -288,9 +404,11 @@ class BondUpdateTriplet(nn.Module):
     pool_follow_dtype: bool = True
 
     @nn.compact
-    def __call__(self, h, h_bond, pos, node_mask):
+    def __call__(self, h, h_bond, pos, node_mask, trip_frozen=None):
         """h: [B,NL,H]; h_bond: [B,NL,NL,H] (src,dst); pos: [B,NL,3];
-        node_mask: [B,NL]. Returns bond update [B,NL,NL,H]."""
+        node_mask: [B,NL]; trip_frozen: optional precomputed (idx, mask)
+        kNN table for the source-bond restriction (block_knn_freeze).
+        Returns bond update [B,NL,NL,H]."""
         B, N, H = h.shape
         d_head = self.hidden_dim // self.n_heads
         act = ACTS[self.act_fn]
@@ -305,7 +423,8 @@ class BondUpdateTriplet(nn.Module):
                                    ).astype(h.dtype)          # [B,N,N,20]
 
         if self.mode == "factorized":
-            return self._factorized(h, h_bond, r_feat, pos, node_mask, act)
+            return self._factorized(h, h_bond, r_feat, pos, node_mask, act,
+                                    trip_frozen)
         freq_bands = jnp.asarray(
             angular_encoding_freq_bands(self.num_ang_funcs))  # dense only
 
@@ -385,7 +504,8 @@ class BondUpdateTriplet(nn.Module):
         out = jnp.sum(alpha[..., None] * v_t, axis=1)  # [B,j,i,heads,dh]
         return out.reshape(B, N, N, self.hidden_dim)
 
-    def _factorized(self, h, h_bond, r_feat, pos, node_mask, act):
+    def _factorized(self, h, h_bond, r_feat, pos, node_mask, act,
+                    trip_frozen=None):
         """Width-Wt triplet attention: pre_kji = act(LN(a_kj + a_ji + a_ang)),
         logits_kji,h = q_ji,h . pre_kji / sqrt(Wt), out_ji = Dense over the
         per-head alpha-pooled pre features. The O(NL^3)-grid segment runs in
@@ -397,15 +517,23 @@ class BondUpdateTriplet(nn.Module):
         Wt = self.width
         heads = self.n_heads
         ang_dim = 1 + 4 * self.num_ang_funcs
+        act_q = ACTS[self.act_fn]
 
-        hk_exp = jnp.broadcast_to(h[:, :, None, :], (B, N, N, H))  # h[src=k]
-        hj_exp = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))  # h[dst=j]
+        # tf_kj applied as split matmuls over
+        # concat([h_bond, r_feat, h_k, h_j]) without materializing the
+        # 3H+20-wide grid concat (same algebra + param tree; the h_bond and
+        # r_feat terms run on the [N,N] grid, node terms on the node axis)
+        rf_dim = r_feat.shape[-1]
+        in_kj = H + rf_dim + (2 * H if self.include_h_node else 0)
+        k_kj, b_kj = _RawDense(in_kj, Wt, name="tf_kj")()
+        a_kj = (h_bond @ k_kj[:H]
+                + r_feat @ k_kj[H:H + rf_dim] + b_kj)          # [B,k,j,Wt]
         if self.include_h_node:
-            f_kj = jnp.concatenate([h_bond, r_feat, hk_exp, hj_exp], axis=-1)
-        else:
-            f_kj = jnp.concatenate([h_bond, r_feat], axis=-1)
-
-        a_kj = nn.Dense(Wt, name="tf_kj")(f_kj)                # [B,k,j,Wt]
+            wn = jnp.concatenate([k_kj[H + rf_dim:H + rf_dim + H],
+                                  k_kj[H + rf_dim + H:]], axis=1)
+            nproj = h @ wn                                     # [B,N,2Wt]
+            a_kj = (a_kj + nproj[..., :Wt][:, :, None, :]      # h[src=k]
+                    + nproj[..., Wt:][:, None, :, :])          # h[dst=j]
         a_ji = nn.Dense(Wt, use_bias=False, name="tf_ji")(r_feat)
         # raw params (shared by XLA and Pallas paths)
         w_ang = self.param("tf_ang_w", nn.initializers.lecun_normal(),
@@ -415,13 +543,15 @@ class BondUpdateTriplet(nn.Module):
         ln_bias = self.param("tf_ln_bias", nn.initializers.zeros, (Wt,)) \
             if self.norm else jnp.zeros((Wt,))
 
+        # tf_q: split first layer over concat([h_bond, h_i]) (same trick)
+        in_q = H + (H if self.include_h_node else 0)
+        pq = _EdgeMLPParams(in_q, self.hidden_dim, heads * Wt, self.norm,
+                            name="tf_q")()
+        q_pre = h_bond @ pq[0][:H] + pq[1]
         if self.include_h_node:
-            hi_exp = jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))
-            q_input = jnp.concatenate([h_bond, hi_exp], axis=-1)
-        else:
-            q_input = h_bond
-        q = MLP(heads * Wt, self.hidden_dim, norm=self.norm,
-                act_fn=self.act_fn, name="tf_q")(q_input)      # [B,j,i,h*Wt]
+            q_pre = q_pre + (h @ pq[0][H:])[:, None, :, :]     # h[dst=i]
+        q = _ln_act_blocks(q_pre[..., None, :], (pq[2],), act_q)[..., 0, :]
+        q = q @ pq[3] + pq[4]                                  # [B,j,i,h*Wt]
         q = q.reshape(B, N, N, heads, Wt)
 
         # the exact-grid triplet pool always runs f32: its numerics are tuned
@@ -437,7 +567,7 @@ class BondUpdateTriplet(nn.Module):
                 cast = f32
             pooled = self._pool_knn(cast(a_kj), cast(a_ji), cast(q), pos,
                                     node_mask, cast(w_ang), cast(ln_scale),
-                                    cast(ln_bias), act)
+                                    cast(ln_bias), act, trip_frozen)
         else:
             pooled = triplet_pool(f32(a_kj), f32(a_ji), f32(q), pos,
                                   node_mask, f32(w_ang), f32(ln_scale),
@@ -448,7 +578,7 @@ class BondUpdateTriplet(nn.Module):
         return out
 
     def _pool_knn(self, a_kj, a_ji, q, pos, node_mask, w_ang, ln_scale,
-                  ln_bias, act):
+                  ln_bias, act, trip_frozen=None):
         """k restricted to the K nearest neighbours of j: O(NL^2 K) grids.
 
         TPU-first divergence (config `denoiser.triplet_knn`): the reference
@@ -466,7 +596,10 @@ class BondUpdateTriplet(nn.Module):
         K = self.knn_k
         freq = jnp.asarray(angular_encoding_freq_bands(self.num_ang_funcs))
 
-        nbr_idx, nbr_mask = knn_neighbors(pos, node_mask, K)  # k in knn(j)
+        if trip_frozen is not None:
+            nbr_idx, nbr_mask = trip_frozen           # frozen per block
+        else:
+            nbr_idx, nbr_mask = knn_neighbors(pos, node_mask, K)  # k in knn(j)
         # gather a_kj -> [B, j, K, Wt]
         a_kj_j = jnp.take_along_axis(
             a_kj.transpose(0, 2, 1, 3),                        # [B, j, k, Wt]

@@ -71,3 +71,59 @@ def radius_neighbors(x: jnp.ndarray, mask: jnp.ndarray, k: int, r: float,
     # nbr_mask, so reusing it avoids a second pairwise pass
     sel = jnp.take_along_axis(d2, nbr_idx, axis=-1)
     return nbr_idx, nbr_mask & (sel <= r * r)
+
+
+def hybrid_neighbors(x: jnp.ndarray, mask: jnp.ndarray, num_phore: int,
+                     k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape hybrid cutoff (reference `_connect_edge` 'hybrid',
+    `models/uni_denoiser.py:356-358` + `models/common.py:211-258`):
+
+    - ligand destinations receive ALL other ligand atoms (fully connected)
+      plus their k nearest pharmacophore points;
+    - pharmacophore destinations receive their k nearest neighbours among
+      all nodes (the reference's `add_p_index=True` branch).
+
+    Composed layout [phore(NP); ligand(NL)]; returns a fixed-width
+    [B, N, NL + k] neighbour table (ligand rows: NL slots of ligand sources
+    with self/padding masked, then k phore slots; phore rows: k slots).
+    """
+    B, N = mask.shape
+    NP = num_phore
+    NL = N - NP
+    k = min(k, N - 1)
+    d2 = pairwise_sq_dist(x)
+    eye = jnp.eye(N, dtype=bool)
+    valid_pair = mask[:, None, :] & mask[:, :, None] & ~eye  # [B, dst, src]
+    d2m = jnp.where(valid_pair, d2, _INF)
+
+    width = NL + k
+    # --- ligand rows ---
+    lig_src_idx = jnp.broadcast_to(jnp.arange(NP, N)[None, None, :],
+                                   (B, NL, NL)).astype(jnp.int32)
+    lig_ll_mask = valid_pair[:, NP:, NP:]                    # [B, NL, NL]
+    d2_lp = jnp.where(mask[:, None, :NP] & mask[:, NP:, None],
+                      d2[:, NP:, :NP], _INF)                 # [B, NL, NP]
+    kp = min(k, NP)
+    neg, lp_idx = lax.top_k(-d2_lp, kp)                      # phore sources
+    lp_mask = neg > -_INF * 0.5
+    pad = k - kp
+    if pad:
+        lp_idx = jnp.concatenate(
+            [lp_idx, jnp.zeros((B, NL, pad), lp_idx.dtype)], -1)
+        lp_mask = jnp.concatenate(
+            [lp_mask, jnp.zeros((B, NL, pad), bool)], -1)
+    lig_idx = jnp.concatenate([lig_src_idx, lp_idx.astype(jnp.int32)], -1)
+    lig_mask_row = jnp.concatenate([lig_ll_mask, lp_mask], -1)
+
+    # --- phore rows: k nearest among all nodes ---
+    negp, p_idx = lax.top_k(-d2m[:, :NP], k)
+    p_mask = negp > -_INF * 0.5
+    p_idx = jnp.concatenate(
+        [p_idx.astype(jnp.int32),
+         jnp.zeros((B, NP, width - k), jnp.int32)], -1)
+    p_mask = jnp.concatenate(
+        [p_mask, jnp.zeros((B, NP, width - k), bool)], -1)
+
+    nbr_idx = jnp.concatenate([p_idx, lig_idx], 1)           # [B, N, width]
+    nbr_mask = jnp.concatenate([p_mask, lig_mask_row], 1)
+    return nbr_idx, nbr_mask

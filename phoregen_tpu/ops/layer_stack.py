@@ -1,0 +1,598 @@
+"""Fused whole-layer-stack execution of the denoiser (Pallas TPU kernel).
+
+The denoiser's per-step cost on TPU is not FLOPs (a forward is ~40 GFLOP at
+B=16) but the HBM round-trips and kernel-launch overhead of ~1.5k compiled
+thunks materializing [B,N,K,*]/[B,NL,NL,*] edge grids: measured 20 ms per
+reverse-diffusion iteration against ~0.3 ms of MXU time
+(scripts/relay_microbench.py, BASELINE.md round 3). This module collapses
+the entire `num_layers` attention stack into ONE `pallas_call`:
+
+    grid = (batch, layer)   # layer minor => sequential per graph
+    carry (h, x, h_bond) lives in VMEM scratch across layer steps;
+    per-layer packed weights stream HBM->VMEM via BlockSpec pipelining;
+    every edge/triplet grid is a VMEM value that never reaches HBM.
+
+Scope: the flagship configuration only — norm=True, x2h_out_fc=False,
+include_h_node=True, direction_match=True, factorized kNN triplet mode
+(`triplet_knn > 0`), e_w from `use_global_ew`. Everything else falls back
+to the XLA path. Two documented approximations versus the per-layer-exact
+XLA path (both config-gated by `denoiser.block_knn_freeze`, which is forced
+on for this kernel): the dire 3-NN centroid set and the kNN triplet source
+set are chosen once per block — their *values* still use current positions.
+The oracle for parity tests is the XLA path with `block_knn_freeze=True`
+(identical math by construction).
+
+Gathers become one-hot matmuls (MXU-friendly, no dynamic indexing):
+`nbr_onehot [N*K, N] @ h` replaces `take_along_axis`; the triplet gather
+over source bonds uses a flattened [NL*K8, NL*NL] selection matrix against
+the bond grid. All built once per block in XLA (`build_block_tables`).
+
+Reference math: `AttentionLayerO2TwoUpdateNodeGeneral`
+(reference `models/uni_denoiser.py:212-298`) as re-designed in
+`models/layers.py`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rbf import (angular_encoding, angular_encoding_freq_bands,
+                  gaussian_smearing, gaussian_smearing_offsets)
+
+LN_EPS = 1e-6
+NEG_INF = -1e9
+CROSS_SQ_EPS = 1e-12
+
+
+# --------------------------------------------------------------------------
+# per-block constant tables (XLA, outside the kernel)
+# --------------------------------------------------------------------------
+
+def build_block_tables(x, node_mask, nbr_idx, nbr_mask, num_phore: int,
+                       trip_k: int, dtype=jnp.float32) -> Dict[str, Any]:
+    """One-hot/selection tables for the kernel, built once per block.
+
+    x: [B,N,3]; node_mask: [B,N]; nbr_idx/nbr_mask: [B,N,K] from the block's
+    kNN rebuild. Returns a dict of arrays with leading batch dim.
+    """
+    from .knn import knn_neighbors
+
+    B, N, K = nbr_idx.shape
+    NP = num_phore
+    NL = N - NP
+    mask_l = node_mask[:, NP:]
+    pos_l = x[:, NP:]
+
+    nbr_oh = jax.nn.one_hot(nbr_idx, N, dtype=dtype)       # [B,N,K,N]
+    nbr_oh = nbr_oh * nbr_mask[..., None].astype(dtype)
+
+    # dire 3-NN centroid operator: row-normalized selection [B,NL,NL]
+    lig3_idx, lig3_mask = knn_neighbors(pos_l, mask_l, 3)
+    w3 = jax.nn.one_hot(lig3_idx, NL, dtype=dtype) \
+        * lig3_mask[..., None].astype(dtype)               # [B,NL,3,NL]
+    cnt = jnp.maximum(jnp.sum(lig3_mask.astype(dtype), -1), 1.0)
+    w3 = jnp.sum(w3, axis=2) / cnt[..., None]              # [B,NL,NL]
+
+    # kNN triplet selection over the flattened bond grid:
+    # S[(j,k), (m,j')] = 1 iff m == trip_idx[j,k] and j' == j
+    trip_idx, trip_mask = knn_neighbors(pos_l, mask_l, trip_k)  # [B,NL,K8]
+    k_oh = jax.nn.one_hot(trip_idx, NL, dtype=dtype)       # [B,j,K8,m]
+    j_oh = jnp.eye(NL, dtype=dtype)                        # [j, j']
+    sel = (k_oh[:, :, :, :, None] * j_oh[None, :, None, None, :]
+           )                                               # [B,j,K8,m,j']
+    sel = sel.reshape(B, NL * trip_k, NL * NL)
+    sel_row = k_oh.reshape(B, NL * trip_k, NL)             # pos_k gather
+
+    # triplet validity: k neighbour valid & i valid & k != i & j != i
+    idx = jnp.arange(NL)
+    neq_ki = trip_idx[..., None] != idx[None, None, None, :]  # [B,j,K8,i]
+    neq_ji = (idx[:, None] != idx[None, :])[None, :, None, :]
+    trip_valid = (trip_mask[..., None] & mask_l[:, None, None, :]
+                  & mask_l[:, :, None, None] & neq_ki & neq_ji)
+
+    eye = jnp.eye(NL, dtype=bool)
+    pair_mask = mask_l[:, :, None] & mask_l[:, None, :] & ~eye
+
+    return {
+        "nbr_onehot": nbr_oh.reshape(B, N * K, N),
+        "nbr_mask": nbr_mask.astype(dtype)[..., None],     # [B,N,K,1]
+        "lig3_w": w3,                                      # [B,NL,NL]
+        "trip_sel": sel,                                   # [B,NL*K8,NL*NL]
+        "trip_sel_row": sel_row,                           # [B,NL*K8,NL]
+        "trip_valid": trip_valid.astype(dtype),            # [B,NL,K8,NL]
+        "pair_mask": pair_mask.astype(dtype)[..., None],   # [B,NL,NL,1]
+        "mask_l": mask_l.astype(dtype)[..., None],         # [B,NL,1]
+    }
+
+
+# --------------------------------------------------------------------------
+# per-layer weight packing (XLA, loop-invariant)
+# --------------------------------------------------------------------------
+
+def _mlp_parts(t):
+    return (t["Dense_0"]["kernel"], t["Dense_0"]["bias"],
+            t["LayerNorm_0"]["scale"], t["LayerNorm_0"]["bias"],
+            t["Dense_1"]["kernel"], t["Dense_1"]["bias"])
+
+
+def pack_layer_params(raw: Dict[str, Any], hidden: int, fe: int,
+                      dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Stacked per-layer param tree -> packed matrices (leading dim L).
+
+    `raw` is `params['denoiser']['layers']['layer']` (every leaf [L, ...]).
+    `fe` = knn edge-feature width (93 with direction_match).
+    Packing fuses the four knn-edge first layers into one [fe, 4H] matmul
+    operand and groups node projections so the kernel runs few, large dots.
+    """
+    H = hidden
+
+    def cat(arrs, axis):
+        return jnp.concatenate([a.astype(dtype) for a in arrs], axis=axis)
+
+    out: Dict[str, jnp.ndarray] = {}
+    nle, ple = raw["node_layer_with_edge"], raw["pos_layer_with_edge"]
+    nlb, plb = raw["node_layer_with_bond"], raw["pos_layer_with_bond"]
+
+    k_hk = _mlp_parts(nle["hk"])
+    k_hv = _mlp_parts(nle["hv"])
+    k_xk = _mlp_parts(ple["xk"])
+    k_xv = _mlp_parts(ple["xv"])
+    # first-layer split rows: [:, :fe] edge part, then h_i rows, h_j rows
+    out["e_W"] = cat([k[0][:, :fe] for k in (k_hk, k_hv, k_xk, k_xv)], 2)
+    out["e_b"] = cat([k[1] for k in (k_hk, k_hv, k_xk, k_xv)], 1)  # [L,4H]
+    # node projections: separate packs for h (node upd) and new_h (pos upd)
+    out["e_Wn_h"] = cat([k_hk[0][:, fe:fe + H], k_hv[0][:, fe:fe + H],
+                         k_hk[0][:, fe + H:], k_hv[0][:, fe + H:]], 2)
+    out["e_Wn_nh"] = cat([k_xk[0][:, fe:fe + H], k_xv[0][:, fe:fe + H],
+                          k_xk[0][:, fe + H:], k_xv[0][:, fe + H:]], 2)
+    out["e_ln_s"] = cat([k[2][:, None, :] for k in (k_hk, k_hv, k_xk, k_xv)],
+                        1)                                  # [L,4,H]
+    out["e_ln_b"] = cat([k[3][:, None, :] for k in (k_hk, k_hv, k_xk, k_xv)],
+                        1)
+    out["e_k2"] = cat([k_hk[4][:, None], k_hv[4][:, None]], 1)  # [L,2,H,H]
+    out["e_b2"] = cat([k_hk[5][:, None], k_hv[5][:, None]], 1)  # [L,2,H]
+    out["e_xk2"] = k_xk[4].astype(dtype)                    # [L,H,H]
+    out["e_xk2b"] = k_xk[5].astype(dtype)
+    out["e_xv2"] = k_xv[4].astype(dtype)                    # [L,H,heads]
+    out["e_xv2b"] = k_xv[5].astype(dtype)
+
+    b_hk = _mlp_parts(nlb["hk"])
+    b_hv = _mlp_parts(nlb["hv"])
+    b_xk = _mlp_parts(plb["xk"])
+    b_xv = _mlp_parts(plb["xv"])
+    # dense-grid first layers: edge part = h_bond (width H)
+    out["b_W"] = cat([k[0][:, :H] for k in (b_hk, b_hv)], 2)   # [L,H,2H]
+    out["b_b"] = cat([k[1] for k in (b_hk, b_hv)], 1)
+    out["b_Wn"] = cat([b_hk[0][:, H:2 * H], b_hv[0][:, H:2 * H],
+                       b_hk[0][:, 2 * H:], b_hv[0][:, 2 * H:]], 2)
+    out["b_ln_s"] = cat([k[2][:, None, :] for k in (b_hk, b_hv)], 1)
+    out["b_ln_b"] = cat([k[3][:, None, :] for k in (b_hk, b_hv)], 1)
+    out["b_k2"] = cat([b_hk[4][:, None], b_hv[4][:, None]], 1)
+    out["b_b2"] = cat([b_hk[5][:, None], b_hv[5][:, None]], 1)
+    out["p_W"] = cat([k[0][:, :H] for k in (b_xk, b_xv)], 2)
+    out["p_b"] = cat([k[1] for k in (b_xk, b_xv)], 1)
+    out["p_Wn"] = cat([b_xk[0][:, H:2 * H], b_xv[0][:, H:2 * H],
+                       b_xk[0][:, 2 * H:], b_xv[0][:, 2 * H:]], 2)
+    out["p_ln_s"] = cat([k[2][:, None, :] for k in (b_xk, b_xv)], 1)
+    out["p_ln_b"] = cat([k[3][:, None, :] for k in (b_xk, b_xv)], 1)
+    out["p_xk2"] = b_xk[4].astype(dtype)
+    out["p_xk2b"] = b_xk[5].astype(dtype)
+    out["p_xv2"] = b_xv[4].astype(dtype)
+    out["p_xv2b"] = b_xv[5].astype(dtype)
+
+    # query MLPs (node-level, standard): stack [4, ...] in the order
+    # (node-knn hq, node-bond hq, pos-knn xq, pos-bond xq)
+    qs = [_mlp_parts(nle["hq"]), _mlp_parts(nlb["hq"]),
+          _mlp_parts(ple["xq"]), _mlp_parts(plb["xq"])]
+    out["q_W0"] = cat([q[0][:, None] for q in qs], 1)       # [L,4,H,H]
+    out["q_b0"] = cat([q[1][:, None] for q in qs], 1)
+    out["q_ln_s"] = cat([q[2][:, None] for q in qs], 1)
+    out["q_ln_b"] = cat([q[3][:, None] for q in qs], 1)
+    out["q_W1"] = cat([q[4][:, None] for q in qs], 1)
+    out["q_b1"] = cat([q[5][:, None] for q in qs], 1)
+
+    bond = raw["bond_layer"]
+    tkj = bond["tf_kj"]["kernel"]                           # [L,3H+20,Wt]
+    out["t_Whb"] = tkj[:, :H].astype(dtype)
+    out["t_Wr"] = tkj[:, H:H + 20].astype(dtype)
+    out["t_Wn"] = cat([tkj[:, H + 20:2 * H + 20], tkj[:, 2 * H + 20:]], 2)
+    out["t_b"] = bond["tf_kj"]["bias"].astype(dtype)
+    out["t_Wji"] = bond["tf_ji"]["kernel"].astype(dtype)
+    out["t_Wang"] = bond["tf_ang_w"].astype(dtype)
+    out["t_ln_s"] = bond["tf_ln_scale"].astype(dtype)
+    out["t_ln_b"] = bond["tf_ln_bias"].astype(dtype)
+    out["t_out_W"] = bond["tf_out"]["kernel"].astype(dtype)
+    out["t_out_b"] = bond["tf_out"]["bias"].astype(dtype)
+    tq = _mlp_parts(bond["tf_q"])
+    out["tq_Whb"] = tq[0][:, :H].astype(dtype)
+    out["tq_Wi"] = tq[0][:, H:].astype(dtype)
+    out["tq_b0"] = tq[1].astype(dtype)
+    out["tq_ln_s"] = tq[2].astype(dtype)
+    out["tq_ln_b"] = tq[3].astype(dtype)
+    out["tq_W1"] = tq[4].astype(dtype)
+    out["tq_b1"] = tq[5].astype(dtype)
+
+    offsets, _ = gaussian_smearing_offsets(fix_offset=True)
+    L = raw["lin_node"]["bias"].shape[0]
+    out["rbf_off"] = jnp.broadcast_to(
+        jnp.asarray(offsets, dtype)[None], (L, len(offsets)))
+    heads_n = raw["pos_layer_with_edge"]["xv"]["Dense_1"]["bias"].shape[-1]
+    out["head_mask"] = jnp.broadcast_to(
+        _head_mask(H, heads_n)[None], (L, H, heads_n)).astype(dtype)
+    out["dire_W"] = raw["dire_embedding"]["kernel"].astype(dtype)  # [L,3,9]
+    out["dire_b"] = raw["dire_embedding"]["bias"].astype(dtype)
+    out["lin_W"] = raw["lin_node"]["kernel"].astype(dtype)
+    out["lin_b"] = raw["lin_node"]["bias"].astype(dtype)
+    return out
+
+
+# --------------------------------------------------------------------------
+# kernel-side math helpers (pure jnp on values)
+# --------------------------------------------------------------------------
+
+def _ln(x, scale, bias):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mu)
+    return (x - mu) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
+def _softmax_masked(scores, maskf, axis):
+    scores = scores + (1.0 - maskf) * NEG_INF
+    m = jnp.max(scores, axis=axis, keepdims=True)
+    e = jnp.exp(scores - jax.lax.stop_gradient(m)) * maskf
+    return e / jnp.maximum(jnp.sum(e, axis=axis, keepdims=True), 1e-30)
+
+
+# --------------------------------------------------------------------------
+# single-layer math on packed weights (values, one graph, no batch dim)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class StackDims:
+    NP: int
+    NL: int
+    K: int      # block knn width
+    K8: int     # triplet knn width
+    H: int
+    heads: int
+    Wt: int
+    num_ang: int = 3
+
+    @property
+    def N(self):
+        return self.NP + self.NL
+
+
+def _qmlp(h, W0, b0, s, b, W1, b1):
+    z = h @ W0 + b0
+    z = jax.nn.relu(_ln(z, s, b))
+    return z @ W1 + b1
+
+
+def _head_mask(H, heads):
+    """[H, heads] selector: column h is 1 on head h's feature block."""
+    dh = H // heads
+    return jnp.asarray(np.kron(np.eye(heads, dtype=np.float32),
+                               np.ones((dh, 1), np.float32)))
+
+
+def _atan2_nonneg(y, x):
+    """Polynomial atan2 for y >= 0 (Pallas TPU has no atan2 primitive);
+    max error ~1e-5 rad — shared with ops/pallas_triplet.py."""
+    ax = jnp.abs(x)
+    mx = jnp.maximum(y, ax)
+    mn = jnp.minimum(y, ax)
+    z = mn / jnp.maximum(mx, 1e-30)
+    tt = z * z
+    pp = z * (0.99997726 + tt * (-0.33262347 + tt * (0.19354346 + tt * (
+        -0.11643287 + tt * (0.05265332 + tt * -0.01172120)))))
+    r = jnp.where(y > ax, np.float32(np.pi / 2) - pp, pp)
+    return jnp.where(x < 0, np.float32(np.pi) - r, r)
+
+
+def _layer_math(w, h, x, hb, t, d: StackDims):
+    """One attention layer on packed weights.
+
+    w: dict of THIS layer's packed weights (no leading L).
+    h [N,H] f32; x [N,3]; hb [NL,NL,H]; t: tables dict for one graph
+    (plus 'edge_type' [N*K,4], 'e_w' [N,K], 'phore_norm' [NP,3]).
+    """
+    N, NL, NP, K, K8 = d.N, d.NL, d.NP, d.K, d.K8
+    H, heads, Wt = d.H, d.heads, d.Wt
+    dh = H // heads
+    f32 = jnp.float32
+    _, coeff = gaussian_smearing_offsets(fix_offset=True)
+    offsets = w["rbf_off"]                         # [20]
+    bands = [float(f) for f in angular_encoding_freq_bands(d.num_ang)]
+
+    nbr_oh = t["nbr_onehot"]                       # [N*K, N]
+    nbr_mask = t["nbr_mask"]                       # [N,K,1] float
+    e_w = t["e_w"]                                 # [N*K,1]
+
+    # ---- knn edge features ----
+    x_nbr = nbr_oh @ x                             # [N*K,3]
+    x_rep = jnp.broadcast_to(x[:, None, :], (N, K, 3)).reshape(N * K, 3)
+    rel = x_rep - x_nbr                            # x[dst] - x[src]
+    d2 = jnp.sum(rel * rel, -1, keepdims=True)     # [N*K,1]
+    dist = jnp.sqrt(d2 + 1e-12)
+    rbf = jnp.exp(coeff * jnp.square(dist - offsets[None, :]))  # [N*K,20]
+    etype = t["edge_type"]                         # [N*K,4]
+
+    pos_l = x[NP:]
+    neib = t["lig3_w"] @ pos_l - pos_l             # [NL,3]
+    comb = jnp.concatenate([t["phore_norm"], neib], 0)      # [N,3]
+    v1 = nbr_oh @ comb
+    v2 = jnp.broadcast_to(comb[:, None, :], (N, K, 3)).reshape(N * K, 3)
+    v3 = -rel
+    dire3 = jnp.concatenate(
+        [jnp.sum(v1 * v2, -1, keepdims=True),
+         jnp.sum(v1 * v3, -1, keepdims=True),
+         jnp.sum(v2 * v3, -1, keepdims=True)], -1)
+    dire9 = dire3 @ w["dire_W"] + w["dire_b"]
+
+    # ---- fused knn first layers (node k/v + pos k/v share the edge work).
+    # edge_feat = [etype x rbf (type-major 80), etype 4, dire 9]; applied
+    # decomposed (no [N*K,93] concat, no lane-splitting reshape):
+    #   e_pre4 = sum_t etype_t * (rbf @ W_o_t) + etype @ W_t + dire9 @ W_d
+    e_pre4 = w["e_b"] + etype @ w["e_W"][80:84] + dire9 @ w["e_W"][84:]
+    for t4 in range(4):
+        e_pre4 = e_pre4 + etype[:, t4:t4 + 1] * (
+            rbf @ w["e_W"][t4 * 20:(t4 + 1) * 20])
+    nproj_h = h @ w["e_Wn_h"]                      # [N,4H]
+    i_h = jnp.broadcast_to(nproj_h[:, None, :2 * H], (N, K, 2 * H)
+                           ).reshape(N * K, 2 * H)
+    j_h = nbr_oh @ nproj_h[:, 2 * H:]
+    pre_kv = e_pre4[:, :2 * H] + i_h + j_h
+    k_n = jax.nn.relu(_ln(pre_kv[:, :H], w["e_ln_s"][0], w["e_ln_b"][0]))
+    v_n = jax.nn.relu(_ln(pre_kv[:, H:], w["e_ln_s"][1], w["e_ln_b"][1]))
+    k_n = k_n @ w["e_k2"][0] + w["e_b2"][0]
+    v_n = (v_n @ w["e_k2"][1] + w["e_b2"][1]) * e_w
+    q_n = _qmlp(h, w["q_W0"][0], w["q_b0"][0], w["q_ln_s"][0],
+                w["q_ln_b"][0], w["q_W1"][0], w["q_b1"][0])
+
+    hm = w["head_mask"]                            # [H, heads]
+    q_rep = jnp.broadcast_to(q_n[:, None, :], (N, K, H)).reshape(N * K, H)
+    scores = ((q_rep * k_n) @ hm / float(np.sqrt(dh))
+              ).reshape(N, K, heads)
+    alpha = _softmax_masked(scores, nbr_mask, axis=1)
+    alpha_h = alpha.reshape(N * K, heads) @ hm.T            # [N*K,H]
+    out_e = jnp.sum((alpha_h * v_n).reshape(N, K, H), axis=1)
+
+    # ---- dense bond-grid node update (ligand block) ----
+    h_l = h[NP:]
+    hb_flat = hb.reshape(NL * NL, H)
+    b_pre = hb_flat @ w["b_W"] + w["b_b"]          # [NL*NL,2H]
+    nproj_b = h_l @ w["b_Wn"]                      # [NL,4H]
+    pre_b = (b_pre.reshape(NL, NL, 2 * H)
+             + nproj_b[None, :, :2 * H]            # h_i = dst (axis 1)
+             + nproj_b[:, None, 2 * H:])           # h_j = src (axis 0)
+    pre_b = pre_b.reshape(NL * NL, 2 * H)
+    k_b = jax.nn.relu(_ln(pre_b[:, :H], w["b_ln_s"][0], w["b_ln_b"][0]))
+    v_b = jax.nn.relu(_ln(pre_b[:, H:], w["b_ln_s"][1], w["b_ln_b"][1]))
+    k_b = k_b @ w["b_k2"][0] + w["b_b2"][0]                 # [NL*NL,H]
+    v_b = v_b @ w["b_k2"][1] + w["b_b2"][1]
+    q_b = _qmlp(h_l, w["q_W0"][1], w["q_b0"][1], w["q_ln_s"][1],
+                w["q_ln_b"][1], w["q_W1"][1], w["q_b1"][1])
+    qb_rep = jnp.broadcast_to(q_b[None, :, :], (NL, NL, H)
+                              ).reshape(NL * NL, H)
+    sc_b = ((qb_rep * k_b) @ hm / float(np.sqrt(dh))
+            ).reshape(NL, NL, heads)                        # [s,d,heads]
+    al_b = _softmax_masked(sc_b, t["pair_mask"], axis=0)
+    al_b_h = al_b.reshape(NL * NL, heads) @ hm.T
+    out_b_l = jnp.sum((al_b_h * v_b).reshape(NL, NL, H), axis=0)
+    out_b = jnp.concatenate([jnp.zeros((NP, H), h.dtype), out_b_l], 0)
+
+    new_h = h + (out_e + out_b) @ w["lin_W"] + w["lin_b"]
+
+    # ---- factorized kNN triplet bond update ----
+    rel_l = pos_l[:, None, :] - pos_l[None, :, :]           # rel[x,i]=x-i
+    dist_l = jnp.sqrt(jnp.sum(rel_l * rel_l, -1, keepdims=True) + 1e-12)
+    r_feat = jnp.exp(coeff * jnp.square(dist_l - offsets[None, None, :]))
+    a_kj = (hb_flat @ w["t_Whb"]
+            + r_feat.reshape(NL * NL, 20) @ w["t_Wr"]
+            ).reshape(NL, NL, Wt) + w["t_b"]
+    npj_k = h_l @ w["t_Wn"][:, :Wt]                         # [NL,Wt]
+    npj_j = h_l @ w["t_Wn"][:, Wt:]
+    a_kj = a_kj + npj_k[:, None, :] + npj_j[None, :, :]     # (k,j)
+    a_ji = (r_feat.reshape(NL * NL, 20) @ w["t_Wji"]).reshape(NL, NL, Wt)
+
+    q_pre = (hb_flat @ w["tq_Whb"]).reshape(NL, NL, H) \
+        + (h_l @ w["tq_Wi"])[None, :, :] + w["tq_b0"]       # (j,i)
+    q_z = jax.nn.relu(_ln(q_pre, w["tq_ln_s"], w["tq_ln_b"])
+                      ).reshape(NL * NL, H)
+
+    a_kj_j = (t["trip_sel"] @ a_kj.reshape(NL * NL, Wt)
+              ).reshape(NL, K8, Wt)                         # (j,k8)
+    pos_k = (t["trip_sel_row"] @ pos_l).reshape(NL, K8, 3)
+    rel_ji = rel_l                                          # (j,i)
+    rel_ki = pos_k[:, :, None, :] - pos_l[None, None, :, :]  # (j,k8,i)
+    dot = jnp.sum(rel_ji[:, None, :, :] * rel_ki, -1)       # [j,K8,i]
+    njsq = jnp.sum(rel_l * rel_l, -1)
+    nksq = jnp.sum(rel_ki * rel_ki, -1)
+    cross = jnp.sqrt(jnp.clip(njsq[:, None, :] * nksq - dot * dot,
+                              CROSS_SQ_EPS, None))
+    angle = _atan2_nonneg(cross, dot)
+    enc = jnp.concatenate(
+        [angle[..., None]]
+        + [jnp.sin(angle * f)[..., None] for f in bands]
+        + [jnp.cos(angle * f)[..., None] for f in bands], -1)
+    a_ang = enc @ w["t_Wang"]                               # [j,K8,i,Wt]
+    pre_t = a_kj_j[:, :, None, :] + a_ji[:, None, :, :] + a_ang
+    pre_t = jax.nn.relu(_ln(pre_t, w["t_ln_s"], w["t_ln_b"]))
+    # per-head attention: q/tf_out applied with weight column/row slices
+    # (no [.,heads,Wt] lane reshape, no multi-batch einsum)
+    t_acc = jnp.zeros((NL * NL, H), f32)
+    inv_sw = 1.0 / float(np.sqrt(Wt))
+    for hh in range(heads):
+        q_h = (q_z @ w["tq_W1"][:, hh * Wt:(hh + 1) * Wt]
+               + w["tq_b1"][hh * Wt:(hh + 1) * Wt]).reshape(NL, NL, Wt)
+        sc_h = jnp.sum(pre_t * q_h[:, None, :, :], -1) * inv_sw  # [j,K8,i]
+        al_h = _softmax_masked(sc_h, t["trip_valid"], axis=1)
+        pooled = jnp.sum(al_h[..., None] * pre_t, axis=1)   # [NL,NL,Wt]
+        t_acc = t_acc + (pooled.reshape(NL * NL, Wt)
+                         @ w["t_out_W"][hh * Wt:(hh + 1) * Wt])
+    t_out = (t_acc + w["t_out_b"]).reshape(NL, NL, H)
+    hb_new = hb + t_out
+
+    # ---- pos update via knn edges (uses new_h) ----
+    nproj_x = new_h @ w["e_Wn_nh"]
+    i_x = jnp.broadcast_to(nproj_x[:, None, :2 * H], (N, K, 2 * H)
+                           ).reshape(N * K, 2 * H)
+    j_x = nbr_oh @ nproj_x[:, 2 * H:]
+    pre_x = e_pre4[:, 2 * H:] + i_x + j_x
+    xk = jax.nn.relu(_ln(pre_x[:, :H], w["e_ln_s"][2], w["e_ln_b"][2]))
+    xv = jax.nn.relu(_ln(pre_x[:, H:], w["e_ln_s"][3], w["e_ln_b"][3]))
+    xk = xk @ w["e_xk2"] + w["e_xk2b"]                      # [N*K,H]
+    xv = (xv @ w["e_xv2"] + w["e_xv2b"]) * e_w              # [N*K,heads]
+    xq = _qmlp(new_h, w["q_W0"][2], w["q_b0"][2], w["q_ln_s"][2],
+               w["q_ln_b"][2], w["q_W1"][2], w["q_b1"][2])
+    xq_rep = jnp.broadcast_to(xq[:, None, :], (N, K, H)).reshape(N * K, H)
+    sc_x = ((xq_rep * xk) @ hm / float(np.sqrt(dh))).reshape(N, K, heads)
+    al_x = _softmax_masked(sc_x, nbr_mask, axis=1)
+    # mean over heads folds into the edge weight: w_e = sum_h al*xv / heads
+    w_e = jnp.sum(al_x * xv.reshape(N, K, heads), -1,
+                  keepdims=True) / heads                    # [N,K,1]
+    dx_edge = jnp.sum(w_e * rel.reshape(N, K, 3), axis=1)   # [N,3]
+
+    # ---- pos update via bond grid (uses new_h, new hb) ----
+    nh_l = new_h[NP:]
+    hbn_flat = hb_new.reshape(NL * NL, H)
+    pp = hbn_flat @ w["p_W"] + w["p_b"]
+    nproj_p = nh_l @ w["p_Wn"]
+    pre_p = (pp.reshape(NL, NL, 2 * H)
+             + nproj_p[None, :, :2 * H] + nproj_p[:, None, 2 * H:])
+    pre_p = pre_p.reshape(NL * NL, 2 * H)
+    pk = jax.nn.relu(_ln(pre_p[:, :H], w["p_ln_s"][0], w["p_ln_b"][0]))
+    pv = jax.nn.relu(_ln(pre_p[:, H:], w["p_ln_s"][1], w["p_ln_b"][1]))
+    pk = pk @ w["p_xk2"] + w["p_xk2b"]                      # [NL*NL,H]
+    pv = pv @ w["p_xv2"] + w["p_xv2b"]                      # [NL*NL,heads]
+    pq = _qmlp(nh_l, w["q_W0"][3], w["q_b0"][3], w["q_ln_s"][3],
+               w["q_ln_b"][3], w["q_W1"][3], w["q_b1"][3])
+    pq_rep = jnp.broadcast_to(pq[None, :, :], (NL, NL, H)
+                              ).reshape(NL * NL, H)
+    sc_p = ((pq_rep * pk) @ hm / float(np.sqrt(dh))).reshape(NL, NL, heads)
+    al_p = _softmax_masked(sc_p, t["pair_mask"], axis=0)
+    rel_bond = pos_l[None, :, :] - pos_l[:, None, :]        # [s,d]=d-s
+    w_p = jnp.sum(al_p * pv.reshape(NL, NL, heads), -1,
+                  keepdims=True) / heads                    # [s,d,1]
+    dx_bond_l = jnp.sum(w_p * rel_bond, axis=0)             # [d,3]
+
+    dx = dx_edge + jnp.concatenate(
+        [jnp.zeros((NP, 3), x.dtype), dx_bond_l], 0)
+    lig_mask = jnp.concatenate(
+        [jnp.zeros((NP, 1), x.dtype), t["mask_l"]], 0)      # [N,1]
+    x_new = x + dx * lig_mask
+    return new_h, x_new, hb_new
+
+
+# --------------------------------------------------------------------------
+# XLA driver: vmap over batch, lax.scan over layers (packing-parity path,
+# also the fallback when the Pallas kernel is unavailable)
+# --------------------------------------------------------------------------
+
+def layer_stack_xla(packed: Dict[str, jnp.ndarray], h, x, hb,
+                    tables: Dict[str, jnp.ndarray], dims: StackDims):
+    """h [B,N,H]; x [B,N,3]; hb [B,NL,NL,H]; tables with leading batch dim
+    (incl. 'edge_type' [B,N*K,4], 'e_w' [B,N,K], 'phore_norm' [B,NP,3])."""
+
+    def per_graph(h_g, x_g, hb_g, tbl):
+        def body(carry, wl):
+            return _layer_math(wl, *carry, tbl, dims), None
+
+        (h_o, x_o, hb_o), _ = jax.lax.scan(
+            body, (h_g, x_g, hb_g), packed)
+        return h_o, x_o, hb_o
+
+    return jax.vmap(per_graph, in_axes=(0, 0, 0, 0))(h, x, hb, tables)
+
+
+def _layer_math_carry(carry, wl, tbl, dims):
+    h, x, hb = carry
+    return _layer_math(wl, h, x, hb, tbl, dims)
+
+
+# --------------------------------------------------------------------------
+# Pallas kernel: grid (B, L); carry in VMEM scratch; params pipelined per l
+# --------------------------------------------------------------------------
+
+_FORCE_INTERPRET = False
+
+
+def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
+                       tables: Dict[str, jnp.ndarray], dims: StackDims,
+                       interpret: bool = False):
+    """Same contract as `layer_stack_xla`, executed as ONE pallas_call:
+    the whole `L`-layer stack per graph runs in VMEM with per-layer packed
+    weights streamed via BlockSpec pipelining."""
+    B = h.shape[0]
+    L = packed["lin_b"].shape[0]
+    N, NL, H = dims.N, dims.NL, dims.H
+
+    p_leaves, p_def = jax.tree_util.tree_flatten(packed)
+    t_leaves, t_def = jax.tree_util.tree_flatten(tables)
+    n_p, n_t = len(p_leaves), len(t_leaves)
+
+    def kernel(*refs):
+        pr = refs[:n_p]
+        tr = refs[n_p:n_p + n_t]
+        h_in, x_in, hb_in = refs[n_p + n_t:n_p + n_t + 3]
+        h_out, x_out, hb_out = refs[n_p + n_t + 3:n_p + n_t + 6]
+        h_s, x_s, hb_s = refs[n_p + n_t + 6:]
+        l = pl.program_id(1)
+
+        @pl.when(l == 0)
+        def _load():
+            h_s[...] = h_in[0]
+            x_s[...] = x_in[0]
+            hb_s[...] = hb_in[0]
+
+        w = jax.tree_util.tree_unflatten(p_def, [r[0] for r in pr])
+        tbl = jax.tree_util.tree_unflatten(t_def, [r[0] for r in tr])
+        hh, xx, hbb = _layer_math(w, h_s[...], x_s[...], hb_s[...], tbl,
+                                  dims)
+        h_s[...] = hh
+        x_s[...] = xx
+        hb_s[...] = hbb
+
+        @pl.when(l == L - 1)
+        def _store():
+            h_out[0] = hh
+            x_out[0] = xx
+            hb_out[0] = hbb
+
+    def p_spec(leaf):
+        blk = (1,) + leaf.shape[1:]
+        return pl.BlockSpec(blk, lambda b, l: (l,) + (0,) * (leaf.ndim - 1))
+
+    def t_spec(leaf):
+        blk = (1,) + leaf.shape[1:]
+        return pl.BlockSpec(blk, lambda b, l: (b,) + (0,) * (leaf.ndim - 1))
+
+    in_specs = ([p_spec(le) for le in p_leaves]
+                + [t_spec(le) for le in t_leaves]
+                + [t_spec(h), t_spec(x), t_spec(hb)])
+    out_specs = [t_spec(h), t_spec(x), t_spec(hb)]
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, L),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct(h.shape, f32),
+                   jax.ShapeDtypeStruct(x.shape, f32),
+                   jax.ShapeDtypeStruct(hb.shape, f32)],
+        scratch_shapes=[pltpu.VMEM((N, H), f32),
+                        pltpu.VMEM((N, 3), f32),
+                        pltpu.VMEM((NL, NL, H), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret or _FORCE_INTERPRET,
+    )(*(p_leaves + t_leaves + [h, x, hb]))
+    return tuple(out)

@@ -1,0 +1,134 @@
+"""Fused whole-layer-stack parity (ops/layer_stack.py).
+
+The fused stack (packed weights, one-hot-matmul gathers) must reproduce the
+standard flax layer path bit-for-bit up to fp reassociation. Oracle: the
+standard path with `block_knn_freeze=True` (identical frozen-index
+semantics by construction — see layer_stack.py docstring)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phoregen_tpu.config import default_config
+from phoregen_tpu.data.loader import PhoreDataLoader
+from phoregen_tpu.data.synthetic import synthetic_dataset
+from phoregen_tpu.models.phoregen import PhoreGen
+
+
+def _setup(fused: str, freeze: bool, heads=2, H=16, layers=3, knn=4,
+           trip_k=3):
+    cfg = default_config("zinc_300")
+    m = cfg.model
+    m.hidden_dim = H
+    m.denoiser.hidden_dim = H
+    m.denoiser.num_layers = layers
+    m.denoiser.n_heads = heads
+    m.denoiser.knn = knn
+    m.denoiser.triplet_knn = trip_k
+    m.denoiser.triplet_width = 8
+    m.denoiser.scan_layers = True
+    m.denoiser.block_knn_freeze = freeze
+    m.denoiser.fused_stack = fused
+    m.diff.num_timesteps = 8
+    m.diff.time_dim = 2
+    cfg.dataset.ligand_buckets = [16]
+    cfg.dataset.max_phore = 16
+    cfg.dataset.corpus = "chains"
+    cfg.finalize()
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def batch_and_key():
+    cfg = _setup("none", False)
+    samples = synthetic_dataset(0, 3, max_atoms=12)
+    batch = next(iter(PhoreDataLoader(samples, cfg, 3, shuffle=False)))
+    return batch, jax.random.PRNGKey(7)
+
+
+def _forward(cfg, batch, key, params=None):
+    pg = PhoreGen(cfg)
+    if params is None:
+        params = pg.init_params(jax.random.PRNGKey(0), batch)
+    # drive through compute_loss with zero noise-randomness influence:
+    # use the deterministic full forward via the net on a fixed perturbation
+    from phoregen_tpu.constants import NUM_ATOM_CLASSES, NUM_BOND_CLASSES
+    B, NL = batch.lig_type.shape
+    rng = np.random.default_rng(5)
+    h_node = jnp.asarray(rng.normal(size=(B, NL, NUM_ATOM_CLASSES)),
+                         jnp.float32)
+    h_edge = jnp.asarray(
+        rng.normal(size=(B, NL, NL, NUM_BOND_CLASSES)), jnp.float32)
+    pos = batch.lig_pos + 0.1 * jnp.asarray(
+        rng.normal(size=batch.lig_pos.shape), jnp.float32)
+    t = jnp.asarray(rng.integers(0, 8, size=(B,)), jnp.int32)
+    out = pg.net.apply(params, h_node, pos, batch.lig_mask, h_edge, t,
+                       batch.phore_x, batch.phore_pos, batch.phore_norm,
+                       batch.phore_mask)
+    return params, out
+
+
+def test_fused_xla_matches_frozen_oracle(batch_and_key):
+    batch, key = batch_and_key
+    cfg_oracle = _setup("none", freeze=True)
+    params, out_oracle = _forward(cfg_oracle, batch, key)
+    cfg_fused = _setup("xla", freeze=False)
+    _, out_fused = _forward(cfg_fused, batch, key, params=params)
+    names = ["pred_node", "pred_pos", "pred_edge", "pred_count"]
+    for name, a, b in zip(names, out_oracle, out_fused):
+        if a is None:
+            assert b is None
+            continue
+        if isinstance(a, tuple):
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           rtol=2e-4, atol=2e-4,
+                                           err_msg=name)
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-4, err_msg=name)
+
+
+def test_frozen_oracle_differs_only_slightly_from_exact(batch_and_key):
+    """block_knn_freeze changes only which neighbour SETS feed dire/triplet;
+    on one forward the drift must be small relative to activations."""
+    batch, key = batch_and_key
+    cfg_a = _setup("none", freeze=False)
+    params, out_a = _forward(cfg_a, batch, key)
+    cfg_b = _setup("none", freeze=True)
+    _, out_b = _forward(cfg_b, batch, key, params=params)
+    a = np.asarray(out_a[1])
+    b = np.asarray(out_b[1])
+    # same order of magnitude, not wildly different
+    denom = max(np.abs(a).max(), 1e-6)
+    assert np.abs(a - b).max() / denom < 0.5
+
+
+def test_fused_requires_flagship_config(batch_and_key):
+    batch, key = batch_and_key
+    cfg = _setup("xla", freeze=False)
+    cfg.model.denoiser.direction_match = False
+    with pytest.raises(ValueError, match="flagship"):
+        _forward(cfg, batch, key)
+
+
+def test_pallas_interpret_matches_xla(batch_and_key):
+    """The Pallas kernel (interpret mode on CPU) vs the packed XLA driver."""
+    pytest.importorskip("jax.experimental.pallas")
+    from phoregen_tpu.ops import layer_stack as ls
+    if not hasattr(ls, "layer_stack_pallas"):
+        pytest.skip("pallas layer-stack not built yet")
+    batch, key = batch_and_key
+    cfg = _setup("xla", freeze=False)
+    params, out_xla = _forward(cfg, batch, key)
+    ls._FORCE_INTERPRET = True
+    try:
+        cfg_p = _setup("pallas", freeze=False)
+        _, out_pal = _forward(cfg_p, batch, key, params=params)
+    finally:
+        ls._FORCE_INTERPRET = False
+    for name, a, b in zip(["node", "pos", "edge"], out_xla, out_pal):
+        if a is None or isinstance(a, tuple):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4, err_msg=name)
