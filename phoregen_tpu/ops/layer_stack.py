@@ -91,11 +91,13 @@ def build_block_tables(x, node_mask, nbr_idx, nbr_mask, num_phore: int,
     sel_row = k_oh.reshape(B, NL * trip_k, NL)             # pos_k gather
 
     # triplet validity: k neighbour valid & i valid & k != i & j != i
+    # (layout [B, K8, j, i]: the kernel reduces over the leading K8 axis)
     idx = jnp.arange(NL)
     neq_ki = trip_idx[..., None] != idx[None, None, None, :]  # [B,j,K8,i]
     neq_ji = (idx[:, None] != idx[None, :])[None, :, None, :]
     trip_valid = (trip_mask[..., None] & mask_l[:, None, None, :]
-                  & mask_l[:, :, None, None] & neq_ki & neq_ji)
+                  & mask_l[:, :, None, None] & neq_ki & neq_ji
+                  ).transpose(0, 2, 1, 3)                  # [B,K8,j,i]
 
     eye = jnp.eye(NL, dtype=bool)
     pair_mask = mask_l[:, :, None] & mask_l[:, None, :] & ~eye
@@ -106,7 +108,7 @@ def build_block_tables(x, node_mask, nbr_idx, nbr_mask, num_phore: int,
         "lig3_w": w3,                                      # [B,NL,NL]
         "trip_sel": sel,                                   # [B,NL*K8,NL*NL]
         "trip_sel_row": sel_row,                           # [B,NL*K8,NL]
-        "trip_valid": trip_valid.astype(dtype),            # [B,NL,K8,NL]
+        "trip_valid": trip_valid.astype(dtype),            # [B,K8,NL,NL]
         "pair_mask": pair_mask.astype(dtype)[..., None],   # [B,NL,NL,1]
         "mask_l": mask_l.astype(dtype)[..., None],         # [B,NL,1]
     }
@@ -317,9 +319,11 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
     e_w = t["e_w"]                                 # [N*K,1]
 
     # ---- knn edge features ----
+    # NOTE (Mosaic): never reshape a lazily-broadcast value — broadcasts
+    # happen implicitly inside arithmetic at rank 3, and only materialized
+    # results get flat reshapes.
     x_nbr = nbr_oh @ x                             # [N*K,3]
-    x_rep = jnp.broadcast_to(x[:, None, :], (N, K, 3)).reshape(N * K, 3)
-    rel = x_rep - x_nbr                            # x[dst] - x[src]
+    rel = (x[:, None, :] - x_nbr.reshape(N, K, 3)).reshape(N * K, 3)
     d2 = jnp.sum(rel * rel, -1, keepdims=True)     # [N*K,1]
     dist = jnp.sqrt(d2 + 1e-12)
     rbf = jnp.exp(coeff * jnp.square(dist - offsets[None, :]))  # [N*K,20]
@@ -328,13 +332,14 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
     pos_l = x[NP:]
     neib = t["lig3_w"] @ pos_l - pos_l             # [NL,3]
     comb = jnp.concatenate([t["phore_norm"], neib], 0)      # [N,3]
-    v1 = nbr_oh @ comb
-    v2 = jnp.broadcast_to(comb[:, None, :], (N, K, 3)).reshape(N * K, 3)
-    v3 = -rel
+    v1 = (nbr_oh @ comb).reshape(N, K, 3)
+    v2 = comb[:, None, :]                          # broadcast in ops below
+    v3 = -rel.reshape(N, K, 3)
     dire3 = jnp.concatenate(
         [jnp.sum(v1 * v2, -1, keepdims=True),
          jnp.sum(v1 * v3, -1, keepdims=True),
-         jnp.sum(v2 * v3, -1, keepdims=True)], -1)
+         jnp.sum(v2 * v3 + jnp.zeros_like(v1), -1, keepdims=True)], -1
+        ).reshape(N * K, 3)
     dire9 = dire3 @ w["dire_W"] + w["dire_b"]
 
     # ---- fused knn first layers (node k/v + pos k/v share the edge work).
@@ -346,10 +351,10 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
         e_pre4 = e_pre4 + etype[:, t4:t4 + 1] * (
             rbf @ w["e_W"][t4 * 20:(t4 + 1) * 20])
     nproj_h = h @ w["e_Wn_h"]                      # [N,4H]
-    i_h = jnp.broadcast_to(nproj_h[:, None, :2 * H], (N, K, 2 * H)
-                           ).reshape(N * K, 2 * H)
     j_h = nbr_oh @ nproj_h[:, 2 * H:]
-    pre_kv = e_pre4[:, :2 * H] + i_h + j_h
+    pre_kv = ((e_pre4[:, :2 * H] + j_h).reshape(N, K, 2 * H)
+              + jnp.expand_dims(nproj_h[:, :2 * H], 1)
+              ).reshape(N * K, 2 * H)
     k_n = jax.nn.relu(_ln(pre_kv[:, :H], w["e_ln_s"][0], w["e_ln_b"][0]))
     v_n = jax.nn.relu(_ln(pre_kv[:, H:], w["e_ln_s"][1], w["e_ln_b"][1]))
     k_n = k_n @ w["e_k2"][0] + w["e_b2"][0]
@@ -357,13 +362,16 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
     q_n = _qmlp(h, w["q_W0"][0], w["q_b0"][0], w["q_ln_s"][0],
                 w["q_ln_b"][0], w["q_W1"][0], w["q_b1"][0])
 
+    # attention layouts put the softmax axis LEADING: middle (sublane-dim)
+    # reductions crash the Mosaic backend at these shapes
     hm = w["head_mask"]                            # [H, heads]
-    q_rep = jnp.broadcast_to(q_n[:, None, :], (N, K, H)).reshape(N * K, H)
-    scores = ((q_rep * k_n) @ hm / float(np.sqrt(dh))
-              ).reshape(N, K, heads)
-    alpha = _softmax_masked(scores, nbr_mask, axis=1)
-    alpha_h = alpha.reshape(N * K, heads) @ hm.T            # [N*K,H]
-    out_e = jnp.sum((alpha_h * v_n).reshape(N, K, H), axis=1)
+    qk = (k_n.reshape(N, K, H) * q_n[:, None, :]).reshape(N * K, H)
+    scores = (qk @ hm / float(np.sqrt(dh))
+              ).reshape(N, K, heads).transpose(1, 0, 2)     # [K,N,heads]
+    alpha = _softmax_masked(scores, nbr_mask.transpose(1, 0, 2), axis=0)
+    alpha_h = (alpha.transpose(1, 0, 2).reshape(N * K, heads) @ hm.T)
+    out_e = jnp.sum((alpha_h * v_n).reshape(N, K, H).transpose(1, 0, 2),
+                    axis=0)
 
     # ---- dense bond-grid node update (ligand block) ----
     h_l = h[NP:]
@@ -371,8 +379,8 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
     b_pre = hb_flat @ w["b_W"] + w["b_b"]          # [NL*NL,2H]
     nproj_b = h_l @ w["b_Wn"]                      # [NL,4H]
     pre_b = (b_pre.reshape(NL, NL, 2 * H)
-             + nproj_b[None, :, :2 * H]            # h_i = dst (axis 1)
-             + nproj_b[:, None, 2 * H:])           # h_j = src (axis 0)
+             + jnp.expand_dims(nproj_b[:, :2 * H], 0)   # h_i = dst (axis 1)
+             + jnp.expand_dims(nproj_b[:, 2 * H:], 1))  # h_j = src (axis 0)
     pre_b = pre_b.reshape(NL * NL, 2 * H)
     k_b = jax.nn.relu(_ln(pre_b[:, :H], w["b_ln_s"][0], w["b_ln_b"][0]))
     v_b = jax.nn.relu(_ln(pre_b[:, H:], w["b_ln_s"][1], w["b_ln_b"][1]))
@@ -380,10 +388,8 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
     v_b = v_b @ w["b_k2"][1] + w["b_b2"][1]
     q_b = _qmlp(h_l, w["q_W0"][1], w["q_b0"][1], w["q_ln_s"][1],
                 w["q_ln_b"][1], w["q_W1"][1], w["q_b1"][1])
-    qb_rep = jnp.broadcast_to(q_b[None, :, :], (NL, NL, H)
-                              ).reshape(NL * NL, H)
-    sc_b = ((qb_rep * k_b) @ hm / float(np.sqrt(dh))
-            ).reshape(NL, NL, heads)                        # [s,d,heads]
+    qkb = (k_b.reshape(NL, NL, H) * q_b[None, :, :]).reshape(NL * NL, H)
+    sc_b = (qkb @ hm / float(np.sqrt(dh))).reshape(NL, NL, heads)  # [s,d,h]
     al_b = _softmax_masked(sc_b, t["pair_mask"], axis=0)
     al_b_h = al_b.reshape(NL * NL, heads) @ hm.T
     out_b_l = jnp.sum((al_b_h * v_b).reshape(NL, NL, H), axis=0)
@@ -409,33 +415,36 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
                       ).reshape(NL * NL, H)
 
     a_kj_j = (t["trip_sel"] @ a_kj.reshape(NL * NL, Wt)
-              ).reshape(NL, K8, Wt)                         # (j,k8)
-    pos_k = (t["trip_sel_row"] @ pos_l).reshape(NL, K8, 3)
+              ).reshape(NL, K8, Wt).transpose(1, 0, 2)      # [K8,j,Wt]
+    pos_k = (t["trip_sel_row"] @ pos_l
+             ).reshape(NL, K8, 3).transpose(1, 0, 2)        # [K8,j,3]
     rel_ji = rel_l                                          # (j,i)
-    rel_ki = pos_k[:, :, None, :] - pos_l[None, None, :, :]  # (j,k8,i)
-    dot = jnp.sum(rel_ji[:, None, :, :] * rel_ki, -1)       # [j,K8,i]
-    njsq = jnp.sum(rel_l * rel_l, -1)
+    rel_ki = pos_k[:, :, None, :] - pos_l[None, None, :, :]  # [K8,j,i,3]
+    dot = jnp.sum(rel_ji[None, :, :, :] * rel_ki, -1)       # [K8,j,i]
+    njsq = jnp.sum(rel_l * rel_l, -1)                       # [j,i]
     nksq = jnp.sum(rel_ki * rel_ki, -1)
-    cross = jnp.sqrt(jnp.clip(njsq[:, None, :] * nksq - dot * dot,
+    cross = jnp.sqrt(jnp.clip(njsq[None, :, :] * nksq - dot * dot,
                               CROSS_SQ_EPS, None))
     angle = _atan2_nonneg(cross, dot)
     enc = jnp.concatenate(
         [angle[..., None]]
         + [jnp.sin(angle * f)[..., None] for f in bands]
         + [jnp.cos(angle * f)[..., None] for f in bands], -1)
-    a_ang = enc @ w["t_Wang"]                               # [j,K8,i,Wt]
-    pre_t = a_kj_j[:, :, None, :] + a_ji[:, None, :, :] + a_ang
+    a_ang = enc @ w["t_Wang"]                               # [K8,j,i,Wt]
+    pre_t = (a_kj_j[:, :, None, :] + a_ji[None, :, :, :] + a_ang)
     pre_t = jax.nn.relu(_ln(pre_t, w["t_ln_s"], w["t_ln_b"]))
     # per-head attention: q/tf_out applied with weight column/row slices
-    # (no [.,heads,Wt] lane reshape, no multi-batch einsum)
+    # (no [.,heads,Wt] lane reshape, no multi-batch einsum); softmax/pool
+    # reduce over the LEADING K8 axis
     t_acc = jnp.zeros((NL * NL, H), f32)
     inv_sw = 1.0 / float(np.sqrt(Wt))
+    trip_valid = t["trip_valid"]                            # [K8,j,i]
     for hh in range(heads):
         q_h = (q_z @ w["tq_W1"][:, hh * Wt:(hh + 1) * Wt]
                + w["tq_b1"][hh * Wt:(hh + 1) * Wt]).reshape(NL, NL, Wt)
-        sc_h = jnp.sum(pre_t * q_h[:, None, :, :], -1) * inv_sw  # [j,K8,i]
-        al_h = _softmax_masked(sc_h, t["trip_valid"], axis=1)
-        pooled = jnp.sum(al_h[..., None] * pre_t, axis=1)   # [NL,NL,Wt]
+        sc_h = jnp.sum(pre_t * q_h[None, :, :, :], -1) * inv_sw  # [K8,j,i]
+        al_h = _softmax_masked(sc_h, trip_valid, axis=0)
+        pooled = jnp.sum(al_h[..., None] * pre_t, axis=0)   # [NL,NL,Wt]
         t_acc = t_acc + (pooled.reshape(NL * NL, Wt)
                          @ w["t_out_W"][hh * Wt:(hh + 1) * Wt])
     t_out = (t_acc + w["t_out_b"]).reshape(NL, NL, H)
@@ -443,23 +452,25 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
 
     # ---- pos update via knn edges (uses new_h) ----
     nproj_x = new_h @ w["e_Wn_nh"]
-    i_x = jnp.broadcast_to(nproj_x[:, None, :2 * H], (N, K, 2 * H)
-                           ).reshape(N * K, 2 * H)
     j_x = nbr_oh @ nproj_x[:, 2 * H:]
-    pre_x = e_pre4[:, 2 * H:] + i_x + j_x
+    pre_x = ((e_pre4[:, 2 * H:] + j_x).reshape(N, K, 2 * H)
+             + jnp.expand_dims(nproj_x[:, :2 * H], 1)
+             ).reshape(N * K, 2 * H)
     xk = jax.nn.relu(_ln(pre_x[:, :H], w["e_ln_s"][2], w["e_ln_b"][2]))
     xv = jax.nn.relu(_ln(pre_x[:, H:], w["e_ln_s"][3], w["e_ln_b"][3]))
     xk = xk @ w["e_xk2"] + w["e_xk2b"]                      # [N*K,H]
     xv = (xv @ w["e_xv2"] + w["e_xv2b"]) * e_w              # [N*K,heads]
     xq = _qmlp(new_h, w["q_W0"][2], w["q_b0"][2], w["q_ln_s"][2],
                w["q_ln_b"][2], w["q_W1"][2], w["q_b1"][2])
-    xq_rep = jnp.broadcast_to(xq[:, None, :], (N, K, H)).reshape(N * K, H)
-    sc_x = ((xq_rep * xk) @ hm / float(np.sqrt(dh))).reshape(N, K, heads)
-    al_x = _softmax_masked(sc_x, nbr_mask, axis=1)
+    xqk = (xk.reshape(N, K, H) * xq[:, None, :]).reshape(N * K, H)
+    sc_x = (xqk @ hm / float(np.sqrt(dh))
+            ).reshape(N, K, heads).transpose(1, 0, 2)       # [K,N,heads]
+    al_x = _softmax_masked(sc_x, nbr_mask.transpose(1, 0, 2), axis=0)
     # mean over heads folds into the edge weight: w_e = sum_h al*xv / heads
-    w_e = jnp.sum(al_x * xv.reshape(N, K, heads), -1,
-                  keepdims=True) / heads                    # [N,K,1]
-    dx_edge = jnp.sum(w_e * rel.reshape(N, K, 3), axis=1)   # [N,3]
+    w_e = jnp.sum(al_x * xv.reshape(N, K, heads).transpose(1, 0, 2), -1,
+                  keepdims=True) / heads                    # [K,N,1]
+    dx_edge = jnp.sum(w_e * rel.reshape(N, K, 3).transpose(1, 0, 2),
+                      axis=0)                               # [N,3]
 
     # ---- pos update via bond grid (uses new_h, new hb) ----
     nh_l = new_h[NP:]
@@ -467,7 +478,8 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
     pp = hbn_flat @ w["p_W"] + w["p_b"]
     nproj_p = nh_l @ w["p_Wn"]
     pre_p = (pp.reshape(NL, NL, 2 * H)
-             + nproj_p[None, :, :2 * H] + nproj_p[:, None, 2 * H:])
+             + jnp.expand_dims(nproj_p[:, :2 * H], 0)
+             + jnp.expand_dims(nproj_p[:, 2 * H:], 1))
     pre_p = pre_p.reshape(NL * NL, 2 * H)
     pk = jax.nn.relu(_ln(pre_p[:, :H], w["p_ln_s"][0], w["p_ln_b"][0]))
     pv = jax.nn.relu(_ln(pre_p[:, H:], w["p_ln_s"][1], w["p_ln_b"][1]))
@@ -475,9 +487,8 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
     pv = pv @ w["p_xv2"] + w["p_xv2b"]                      # [NL*NL,heads]
     pq = _qmlp(nh_l, w["q_W0"][3], w["q_b0"][3], w["q_ln_s"][3],
                w["q_ln_b"][3], w["q_W1"][3], w["q_b1"][3])
-    pq_rep = jnp.broadcast_to(pq[None, :, :], (NL, NL, H)
-                              ).reshape(NL * NL, H)
-    sc_p = ((pq_rep * pk) @ hm / float(np.sqrt(dh))).reshape(NL, NL, heads)
+    pqk = (pk.reshape(NL, NL, H) * pq[None, :, :]).reshape(NL * NL, H)
+    sc_p = (pqk @ hm / float(np.sqrt(dh))).reshape(NL, NL, heads)
     al_p = _softmax_masked(sc_p, t["pair_mask"], axis=0)
     rel_bond = pos_l[None, :, :] - pos_l[:, None, :]        # [s,d]=d-s
     w_p = jnp.sum(al_p * pv.reshape(NL, NL, heads), -1,
@@ -537,6 +548,11 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
 
     p_leaves, p_def = jax.tree_util.tree_flatten(packed)
     t_leaves, t_def = jax.tree_util.tree_flatten(tables)
+    # Mosaic block shapes need their last two dims divisible/full-sized:
+    # lift 2D [L, X] leaves to [L, 1, X] so blocks are (1, 1, X)
+    lifted = [le.ndim == 2 for le in p_leaves]
+    p_leaves = [le[:, None, :] if li else le
+                for le, li in zip(p_leaves, lifted)]
     n_p, n_t = len(p_leaves), len(t_leaves)
 
     def kernel(*refs):
@@ -553,7 +569,9 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
             x_s[...] = x_in[0]
             hb_s[...] = hb_in[0]
 
-        w = jax.tree_util.tree_unflatten(p_def, [r[0] for r in pr])
+        w = jax.tree_util.tree_unflatten(
+            p_def, [r[0, 0] if li else r[0]
+                    for r, li in zip(pr, lifted)])
         tbl = jax.tree_util.tree_unflatten(t_def, [r[0] for r in tr])
         hh, xx, hbb = _layer_math(w, h_s[...], x_s[...], hb_s[...], tbl,
                                   dims)
