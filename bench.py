@@ -54,6 +54,8 @@ def main():
     cfg.model.denoiser.use_pallas_triplet = (
         os.environ.get("BENCH_PALLAS", "0") == "1")
     cfg.model.compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
+    # whole-layer-stack fused execution (ops/layer_stack.py)
+    cfg.model.denoiser.fused_stack = os.environ.get("BENCH_FUSED", "none")
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
 
     pg = PhoreGen(cfg)

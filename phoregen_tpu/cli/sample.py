@@ -56,6 +56,12 @@ def parse_args(argv=None):
                    help="split the reverse scan into device calls of this "
                         "many steps (identical math/PRNG; for runtimes that "
                         "cap single-execution wall-time; 0 = one scan)")
+    p.add_argument("--fused_stack", default="",
+                   choices=["", "none", "xla", "pallas"],
+                   help="override denoiser.fused_stack for sampling (the "
+                        "whole-layer-stack kernel, ops/layer_stack.py); "
+                        "parameter-compatible with any checkpoint of the "
+                        "flagship architecture")
     p.add_argument("--triplet_knn", type=int, default=-1,
                    help="override denoiser.triplet_knn at sampling time "
                         "(0 = exact triplet attention, K>0 = restrict to K "
@@ -136,6 +142,8 @@ def main(argv=None):
         cfg = load_config(args.config)
         if args.triplet_knn >= 0:
             cfg.model.denoiser.triplet_knn = args.triplet_knn
+        if args.fused_stack:
+            cfg.model.denoiser.fused_stack = args.fused_stack
         pg = PhoreGen(cfg)
         params, pt_meta = load_reference_checkpoint(args.ckpt, cfg)
         params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -154,6 +162,8 @@ def main(argv=None):
         cfg = config_from_dict(meta["config"])
     if args.triplet_knn >= 0:
         cfg.model.denoiser.triplet_knn = args.triplet_knn
+    if args.fused_stack:
+        cfg.model.denoiser.fused_stack = args.fused_stack
 
     pg = PhoreGen(cfg)
     # template params for deserialization

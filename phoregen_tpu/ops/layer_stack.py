@@ -252,6 +252,24 @@ def _softmax_masked(scores, maskf, axis):
     return e / jnp.maximum(jnp.sum(e, axis=axis, keepdims=True), 1e-30)
 
 
+def _reduce0(x, op):
+    """Unrolled reduction over the (static, small) leading axis — the
+    Mosaic backend crashes on >2D leading-axis reduce at these shapes."""
+    acc = x[0]
+    for k in range(1, x.shape[0]):
+        acc = op(acc, x[k])
+    return acc
+
+
+def _softmax0_unrolled(scores, maskf):
+    """Masked softmax over the leading axis via unrolled slice ops."""
+    s = scores + (1.0 - maskf) * NEG_INF
+    m = jax.lax.stop_gradient(_reduce0(s, jnp.maximum))
+    e = jnp.exp(s - m[None]) * maskf
+    denom = jnp.maximum(_reduce0(e, jnp.add), 1e-30)
+    return e / denom[None]
+
+
 # --------------------------------------------------------------------------
 # single-layer math on packed weights (values, one graph, no batch dim)
 # --------------------------------------------------------------------------
@@ -368,10 +386,10 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
     qk = (k_n.reshape(N, K, H) * q_n[:, None, :]).reshape(N * K, H)
     scores = (qk @ hm / float(np.sqrt(dh))
               ).reshape(N, K, heads).transpose(1, 0, 2)     # [K,N,heads]
-    alpha = _softmax_masked(scores, nbr_mask.transpose(1, 0, 2), axis=0)
+    alpha = _softmax0_unrolled(scores, nbr_mask.transpose(1, 0, 2))
     alpha_h = (alpha.transpose(1, 0, 2).reshape(N * K, heads) @ hm.T)
-    out_e = jnp.sum((alpha_h * v_n).reshape(N, K, H).transpose(1, 0, 2),
-                    axis=0)
+    out_e = _reduce0((alpha_h * v_n).reshape(N, K, H).transpose(1, 0, 2),
+                     jnp.add)
 
     # ---- dense bond-grid node update (ligand block) ----
     h_l = h[NP:]
@@ -390,9 +408,9 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
                 w["q_ln_b"][1], w["q_W1"][1], w["q_b1"][1])
     qkb = (k_b.reshape(NL, NL, H) * q_b[None, :, :]).reshape(NL * NL, H)
     sc_b = (qkb @ hm / float(np.sqrt(dh))).reshape(NL, NL, heads)  # [s,d,h]
-    al_b = _softmax_masked(sc_b, t["pair_mask"], axis=0)
+    al_b = _softmax0_unrolled(sc_b, t["pair_mask"])
     al_b_h = al_b.reshape(NL * NL, heads) @ hm.T
-    out_b_l = jnp.sum((al_b_h * v_b).reshape(NL, NL, H), axis=0)
+    out_b_l = _reduce0((al_b_h * v_b).reshape(NL, NL, H), jnp.add)
     out_b = jnp.concatenate([jnp.zeros((NP, H), h.dtype), out_b_l], 0)
 
     new_h = h + (out_e + out_b) @ w["lin_W"] + w["lin_b"]
@@ -443,8 +461,8 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
         q_h = (q_z @ w["tq_W1"][:, hh * Wt:(hh + 1) * Wt]
                + w["tq_b1"][hh * Wt:(hh + 1) * Wt]).reshape(NL, NL, Wt)
         sc_h = jnp.sum(pre_t * q_h[None, :, :, :], -1) * inv_sw  # [K8,j,i]
-        al_h = _softmax_masked(sc_h, trip_valid, axis=0)
-        pooled = jnp.sum(al_h[..., None] * pre_t, axis=0)   # [NL,NL,Wt]
+        al_h = _softmax0_unrolled(sc_h, trip_valid)
+        pooled = _reduce0(al_h[..., None] * pre_t, jnp.add)  # [NL,NL,Wt]
         t_acc = t_acc + (pooled.reshape(NL * NL, Wt)
                          @ w["t_out_W"][hh * Wt:(hh + 1) * Wt])
     t_out = (t_acc + w["t_out_b"]).reshape(NL, NL, H)
@@ -465,12 +483,12 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
     xqk = (xk.reshape(N, K, H) * xq[:, None, :]).reshape(N * K, H)
     sc_x = (xqk @ hm / float(np.sqrt(dh))
             ).reshape(N, K, heads).transpose(1, 0, 2)       # [K,N,heads]
-    al_x = _softmax_masked(sc_x, nbr_mask.transpose(1, 0, 2), axis=0)
+    al_x = _softmax0_unrolled(sc_x, nbr_mask.transpose(1, 0, 2))
     # mean over heads folds into the edge weight: w_e = sum_h al*xv / heads
     w_e = jnp.sum(al_x * xv.reshape(N, K, heads).transpose(1, 0, 2), -1,
                   keepdims=True) / heads                    # [K,N,1]
-    dx_edge = jnp.sum(w_e * rel.reshape(N, K, 3).transpose(1, 0, 2),
-                      axis=0)                               # [N,3]
+    dx_edge = _reduce0(w_e * rel.reshape(N, K, 3).transpose(1, 0, 2),
+                       jnp.add)                             # [N,3]
 
     # ---- pos update via bond grid (uses new_h, new hb) ----
     nh_l = new_h[NP:]
@@ -489,11 +507,11 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
                w["q_ln_b"][3], w["q_W1"][3], w["q_b1"][3])
     pqk = (pk.reshape(NL, NL, H) * pq[None, :, :]).reshape(NL * NL, H)
     sc_p = (pqk @ hm / float(np.sqrt(dh))).reshape(NL, NL, heads)
-    al_p = _softmax_masked(sc_p, t["pair_mask"], axis=0)
+    al_p = _softmax0_unrolled(sc_p, t["pair_mask"])
     rel_bond = pos_l[None, :, :] - pos_l[:, None, :]        # [s,d]=d-s
     w_p = jnp.sum(al_p * pv.reshape(NL, NL, heads), -1,
                   keepdims=True) / heads                    # [s,d,1]
-    dx_bond_l = jnp.sum(w_p * rel_bond, axis=0)             # [d,3]
+    dx_bond_l = _reduce0(w_p * rel_bond, jnp.add)           # [d,3]
 
     dx = dx_edge + jnp.concatenate(
         [jnp.zeros((NP, 3), x.dtype), dx_bond_l], 0)

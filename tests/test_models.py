@@ -257,7 +257,7 @@ def test_radius_cutoff_mode_runs():
     assert np.isfinite(np.asarray(node)).all()
     # unsupported modes fail loudly at finalize
     cfg2 = tiny_config()
-    cfg2.model.denoiser.cutoff_mode = "hybrid"
+    cfg2.model.denoiser.cutoff_mode = "bogus_mode"
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         cfg2.finalize()
