@@ -253,12 +253,16 @@ def _softmax_masked(scores, maskf, axis):
 
 
 def _reduce0(x, op):
-    """Unrolled reduction over the (static, small) leading axis — the
-    Mosaic backend crashes on >2D leading-axis reduce at these shapes."""
-    acc = x[0]
-    for k in range(1, x.shape[0]):
-        acc = op(acc, x[k])
-    return acc
+    """Unrolled log-depth tree reduction over the (static, small) leading
+    axis — the Mosaic backend crashes on >2D leading-axis reduce at these
+    shapes, and a linear chain serializes the scheduler."""
+    vals = [x[k] for k in range(x.shape[0])]
+    while len(vals) > 1:
+        nxt = [op(vals[i], vals[i + 1]) for i in range(0, len(vals) - 1, 2)]
+        if len(vals) % 2:
+            nxt.append(vals[-1])
+        vals = nxt
+    return vals[0]
 
 
 def _softmax0_unrolled(scores, maskf):
@@ -317,12 +321,12 @@ def _atan2_nonneg(y, x):
     return jnp.where(x < 0, np.float32(np.pi) - r, r)
 
 
-def _layer_math(w, h, x, hb, t, d: StackDims):
-    """One attention layer on packed weights.
+def _stage_node(w, h, x, hb, t, d: StackDims):
+    """Stage A: edge features + knn/bond node updates -> (new_h, e_pre4).
 
     w: dict of THIS layer's packed weights (no leading L).
     h [N,H] f32; x [N,3]; hb [NL,NL,H]; t: tables dict for one graph
-    (plus 'edge_type' [N*K,4], 'e_w' [N,K], 'phore_norm' [NP,3]).
+    (plus 'edge_type' [N*K,4], 'e_w' [N*K,1], 'phore_norm' [NP,3]).
     """
     N, NL, NP, K, K8 = d.N, d.NL, d.NP, d.K, d.K8
     H, heads, Wt = d.H, d.heads, d.Wt
@@ -330,7 +334,6 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
     f32 = jnp.float32
     _, coeff = gaussian_smearing_offsets(fix_offset=True)
     offsets = w["rbf_off"]                         # [20]
-    bands = [float(f) for f in angular_encoding_freq_bands(d.num_ang)]
 
     nbr_oh = t["nbr_onehot"]                       # [N*K, N]
     nbr_mask = t["nbr_mask"]                       # [N,K,1] float
@@ -414,8 +417,21 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
     out_b = jnp.concatenate([jnp.zeros((NP, H), h.dtype), out_b_l], 0)
 
     new_h = h + (out_e + out_b) @ w["lin_W"] + w["lin_b"]
+    return new_h, e_pre4
 
-    # ---- factorized kNN triplet bond update ----
+
+def _stage_triplet(w, h, x, hb, t, d: StackDims):
+    """Stage B: factorized kNN triplet bond update -> hb_new (uses OLD h)."""
+    N, NL, NP, K8 = d.N, d.NL, d.NP, d.K8
+    H, heads, Wt = d.H, d.heads, d.Wt
+    f32 = jnp.float32
+    _, coeff = gaussian_smearing_offsets(fix_offset=True)
+    offsets = w["rbf_off"]
+    bands = [float(f) for f in angular_encoding_freq_bands(d.num_ang)]
+    pos_l = x[NP:]
+    h_l = h[NP:]
+    hb_flat = hb.reshape(NL * NL, H)
+
     rel_l = pos_l[:, None, :] - pos_l[None, :, :]           # rel[x,i]=x-i
     dist_l = jnp.sqrt(jnp.sum(rel_l * rel_l, -1, keepdims=True) + 1e-12)
     r_feat = jnp.exp(coeff * jnp.square(dist_l - offsets[None, None, :]))
@@ -466,7 +482,22 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
         t_acc = t_acc + (pooled.reshape(NL * NL, Wt)
                          @ w["t_out_W"][hh * Wt:(hh + 1) * Wt])
     t_out = (t_acc + w["t_out_b"]).reshape(NL, NL, H)
-    hb_new = hb + t_out
+    return hb + t_out
+
+
+def _stage_pos(w, new_h, x, hb_new, e_pre4, t, d: StackDims):
+    """Stage C: knn + bond-grid position updates -> x_new."""
+    N, NL, NP, K = d.N, d.NL, d.NP, d.K
+    H, heads = d.H, d.heads
+    dh = H // heads
+    nbr_oh = t["nbr_onehot"]
+    nbr_mask = t["nbr_mask"]
+    e_w = t["e_w"]
+    hm = w["head_mask"]
+    pos_l = x[NP:]
+    # rel recomputed from x (cheap: one [N*K,N]@[N,3] matmul)
+    x_nbr = nbr_oh @ x
+    rel = (x[:, None, :] - x_nbr.reshape(N, K, 3)).reshape(N * K, 3)
 
     # ---- pos update via knn edges (uses new_h) ----
     nproj_x = new_h @ w["e_Wn_nh"]
@@ -517,7 +548,14 @@ def _layer_math(w, h, x, hb, t, d: StackDims):
         [jnp.zeros((NP, 3), x.dtype), dx_bond_l], 0)
     lig_mask = jnp.concatenate(
         [jnp.zeros((NP, 1), x.dtype), t["mask_l"]], 0)      # [N,1]
-    x_new = x + dx * lig_mask
+    return x + dx * lig_mask
+
+
+def _layer_math(w, h, x, hb, t, d: StackDims):
+    """One attention layer on packed weights = the three stages composed."""
+    new_h, e_pre4 = _stage_node(w, h, x, hb, t, d)
+    hb_new = _stage_triplet(w, h, x, hb, t, d)
+    x_new = _stage_pos(w, new_h, x, hb_new, e_pre4, t, d)
     return new_h, x_new, hb_new
 
 
@@ -548,87 +586,111 @@ def _layer_math_carry(carry, wl, tbl, dims):
 
 
 # --------------------------------------------------------------------------
-# Pallas kernel: grid (B, L); carry in VMEM scratch; params pipelined per l
+# Pallas kernels: one call per (stage, layer), grid (B,)
+#
+# The monolithic (B, L)-grid whole-stack kernel lowers cleanly but the
+# remote TPU compiler backend crashes on it even after ~30 min; three
+# smaller stage kernels (node update / triplet / pos update) compile in
+# minutes, are each compiled ONCE (layers share shapes; only weight values
+# differ), and still collapse the per-iteration thunk count ~100x. The
+# stage intermediates (new_h, e_pre4, hb_new) pass through HBM — a few MB
+# per layer, negligible against the saved grid traffic.
 # --------------------------------------------------------------------------
 
 _FORCE_INTERPRET = False
+
+_NODE_W = ("rbf_off", "dire_W", "dire_b", "e_W", "e_b", "e_Wn_h", "e_ln_s",
+           "e_ln_b", "e_k2", "e_b2", "head_mask", "q_W0", "q_b0", "q_ln_s",
+           "q_ln_b", "q_W1", "q_b1", "b_W", "b_b", "b_Wn", "b_ln_s",
+           "b_ln_b", "b_k2", "b_b2", "lin_W", "lin_b")
+_NODE_T = ("nbr_onehot", "nbr_mask", "lig3_w", "pair_mask", "edge_type",
+           "e_w", "phore_norm")
+_TRIP_W = ("rbf_off", "t_Whb", "t_Wr", "t_Wn", "t_b", "t_Wji", "t_Wang",
+           "t_ln_s", "t_ln_b", "t_out_W", "t_out_b", "tq_Whb", "tq_Wi",
+           "tq_b0", "tq_ln_s", "tq_ln_b", "tq_W1", "tq_b1")
+_TRIP_T = ("trip_sel", "trip_sel_row", "trip_valid")
+_POS_W = ("e_Wn_nh", "e_ln_s", "e_ln_b", "e_xk2", "e_xk2b", "e_xv2",
+          "e_xv2b", "head_mask", "q_W0", "q_b0", "q_ln_s", "q_ln_b",
+          "q_W1", "q_b1", "p_W", "p_b", "p_Wn", "p_ln_s", "p_ln_b",
+          "p_xk2", "p_xk2b", "p_xv2", "p_xv2b")
+_POS_T = ("nbr_onehot", "nbr_mask", "pair_mask", "e_w", "mask_l")
+
+
+def _stage_pallas(stage_fn, w_keys, t_keys, n_arr, out_shapes, dims,
+                  interpret):
+    """Build a pallas_call for one stage: weights replicated (block = full
+    array), batch arrays/tables blocked per graph, grid (B,)."""
+
+    def call(w_l, tables, *arrays):
+        B = arrays[0].shape[0]
+        w_sub = {k: w_l[k] for k in w_keys}
+        t_sub = {k: tables[k] for k in t_keys}
+        wl, wdef = jax.tree_util.tree_flatten(w_sub)
+        tl, tdef = jax.tree_util.tree_flatten(t_sub)
+        n_w, n_t = len(wl), len(tl)
+
+        def kernel(*refs):
+            w = jax.tree_util.tree_unflatten(
+                wdef, [r[...] for r in refs[:n_w]])
+            t = jax.tree_util.tree_unflatten(
+                tdef, [r[0] for r in refs[n_w:n_w + n_t]])
+            arrs = [r[0] for r in refs[n_w + n_t:n_w + n_t + n_arr]]
+            outs = refs[n_w + n_t + n_arr:]
+            res = stage_fn(w, t, *arrs)
+            if not isinstance(res, tuple):
+                res = (res,)
+            for o_ref, val in zip(outs, res):
+                o_ref[0] = val
+
+        def w_spec(le):
+            return pl.BlockSpec(le.shape,
+                                lambda b, nd=le.ndim: (0,) * nd)
+
+        def b_spec(le):
+            return pl.BlockSpec((1,) + le.shape[1:],
+                                lambda b, nd=le.ndim: (b,) + (0,) * (nd - 1))
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=([w_spec(le) for le in wl] + [b_spec(le) for le in tl]
+                      + [b_spec(a) for a in arrays]),
+            out_specs=[b_spec_o for b_spec_o in
+                       (pl.BlockSpec((1,) + s, lambda b, nd=len(s): (b,)
+                                     + (0,) * nd) for s in out_shapes)],
+            out_shape=[jax.ShapeDtypeStruct((B,) + s, jnp.float32)
+                       for s in out_shapes],
+            interpret=interpret or _FORCE_INTERPRET,
+        )(*(wl + tl + list(arrays)))
+        return out if len(out_shapes) > 1 else out[0]
+
+    return call
 
 
 def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
                        tables: Dict[str, jnp.ndarray], dims: StackDims,
                        interpret: bool = False):
-    """Same contract as `layer_stack_xla`, executed as ONE pallas_call:
-    the whole `L`-layer stack per graph runs in VMEM with per-layer packed
-    weights streamed via BlockSpec pipelining."""
-    B = h.shape[0]
+    """Same contract as `layer_stack_xla`, executed as three Pallas stage
+    kernels per layer (each stage compiled once; every edge/triplet grid
+    stays in VMEM)."""
     L = packed["lin_b"].shape[0]
-    N, NL, H = dims.N, dims.NL, dims.H
+    N, NL, K, H = dims.N, dims.NL, dims.K, dims.H
 
-    p_leaves, p_def = jax.tree_util.tree_flatten(packed)
-    t_leaves, t_def = jax.tree_util.tree_flatten(tables)
-    # Mosaic block shapes need their last two dims divisible/full-sized:
-    # lift 2D [L, X] leaves to [L, 1, X] so blocks are (1, 1, X)
-    lifted = [le.ndim == 2 for le in p_leaves]
-    p_leaves = [le[:, None, :] if li else le
-                for le, li in zip(p_leaves, lifted)]
-    n_p, n_t = len(p_leaves), len(t_leaves)
+    node_call = _stage_pallas(
+        lambda w, t, h_, x_, hb_: _stage_node(w, h_, x_, hb_, t, dims),
+        _NODE_W, _NODE_T, 3, [(N, H), (N * K, 4 * H)], dims, interpret)
+    trip_call = _stage_pallas(
+        lambda w, t, h_, x_, hb_: _stage_triplet(w, h_, x_, hb_, t, dims),
+        _TRIP_W, _TRIP_T, 3, [(NL, NL, H)], dims, interpret)
+    pos_call = _stage_pallas(
+        lambda w, t, nh_, x_, hbn_, ep_: _stage_pos(w, nh_, x_, hbn_, ep_,
+                                                    t, dims),
+        _POS_W, _POS_T, 4, [(N, 3)], dims, interpret)
 
-    def kernel(*refs):
-        pr = refs[:n_p]
-        tr = refs[n_p:n_p + n_t]
-        h_in, x_in, hb_in = refs[n_p + n_t:n_p + n_t + 3]
-        h_out, x_out, hb_out = refs[n_p + n_t + 3:n_p + n_t + 6]
-        h_s, x_s, hb_s = refs[n_p + n_t + 6:]
-        l = pl.program_id(1)
-
-        @pl.when(l == 0)
-        def _load():
-            h_s[...] = h_in[0]
-            x_s[...] = x_in[0]
-            hb_s[...] = hb_in[0]
-
-        w = jax.tree_util.tree_unflatten(
-            p_def, [r[0, 0] if li else r[0]
-                    for r, li in zip(pr, lifted)])
-        tbl = jax.tree_util.tree_unflatten(t_def, [r[0] for r in tr])
-        hh, xx, hbb = _layer_math(w, h_s[...], x_s[...], hb_s[...], tbl,
-                                  dims)
-        h_s[...] = hh
-        x_s[...] = xx
-        hb_s[...] = hbb
-
-        @pl.when(l == L - 1)
-        def _store():
-            h_out[0] = hh
-            x_out[0] = xx
-            hb_out[0] = hbb
-
-    def p_spec(leaf):
-        blk = (1,) + leaf.shape[1:]
-        return pl.BlockSpec(blk, lambda b, l: (l,) + (0,) * (leaf.ndim - 1))
-
-    def t_spec(leaf):
-        blk = (1,) + leaf.shape[1:]
-        return pl.BlockSpec(blk, lambda b, l: (b,) + (0,) * (leaf.ndim - 1))
-
-    in_specs = ([p_spec(le) for le in p_leaves]
-                + [t_spec(le) for le in t_leaves]
-                + [t_spec(h), t_spec(x), t_spec(hb)])
-    out_specs = [t_spec(h), t_spec(x), t_spec(hb)]
-    f32 = jnp.float32
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, L),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct(h.shape, f32),
-                   jax.ShapeDtypeStruct(x.shape, f32),
-                   jax.ShapeDtypeStruct(hb.shape, f32)],
-        scratch_shapes=[pltpu.VMEM((N, H), f32),
-                        pltpu.VMEM((N, 3), f32),
-                        pltpu.VMEM((NL, NL, H), f32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-        interpret=interpret or _FORCE_INTERPRET,
-    )(*(p_leaves + t_leaves + [h, x, hb]))
-    return tuple(out)
+    for l in range(L):
+        w_l = jax.tree_util.tree_map(lambda a: a[l], packed)
+        new_h, e_pre4 = node_call(w_l, tables, h, x, hb)
+        hb = trip_call(w_l, tables, h, x, hb)
+        x = pos_call(w_l, tables, new_h, x, hb, e_pre4)
+        h = new_h
+    return h, x, hb

@@ -69,6 +69,10 @@ def main():
                     help="override denoiser.triplet_knn for the sampling "
                          "pipeline (-1 = config default/exact); the "
                          "quick-trained weights are knn-agnostic")
+    ap.add_argument("--fused_stack", default="",
+                    choices=["", "none", "xla", "pallas"],
+                    help="denoiser.fused_stack override for the sampling "
+                         "pipeline (whole-layer-stack kernel)")
     ap.add_argument("--no_guidance", action="store_true",
                     help="disable the canonical sample.sh guidance recipe "
                          "(atom_prox 1-3 A + center_prox)")
@@ -104,6 +108,8 @@ def main():
     cfg.dataset.ligand_buckets = [32, 48, 64, 80]
     if args.triplet_knn >= 0:
         cfg.model.denoiser.triplet_knn = args.triplet_knn
+    if args.fused_stack:
+        cfg.model.denoiser.fused_stack = args.fused_stack
     cfg.finalize()
     pg = PhoreGen(cfg)
 
