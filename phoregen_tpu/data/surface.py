@@ -121,3 +121,131 @@ def hydrophobic_groups(mol, threshold: float = LIPO_THRESHOLD
             centers.append(pos[group].mean(axis=0))
             used.update(group)
     return centers
+
+
+# ---------------------------------------------------------------------------
+# AncPhore lipophilicity algorithm (full-depth parity)
+# ---------------------------------------------------------------------------
+
+def label_lipo_atoms(mol) -> np.ndarray:
+    """Per-atom lipophilic 'pcharge' by the AncPhore propagation rules
+    (behavioral re-implementation of `labelLipoAtoms`, reference
+    `datasets/generate_phorefp.py:372-443`):
+
+    start at 1.0 per atom; H and N/O centres drop to 0 and multiplicatively
+    damp their neighbourhoods (0.25 one bond out; H-bearing N / O-H and
+    O= neighbourhoods suppressed to 0, carbonyl-adjacent damped 0.6);
+    S-H / S= analogous; formally charged centres suppress their whole
+    neighbourhood; finally values equal to 0.36 or below 0.25 (except the
+    exact 0.15 product) are zeroed."""
+    atoms = list(mol.GetAtoms())
+    pq = {a.GetIdx(): 1.0 for a in atoms}
+
+    def damp_neighbors(atom, value):
+        for b in atom.GetBonds():
+            nb = b.GetOtherAtom(atom)
+            pq[nb.GetIdx()] = pq[nb.GetIdx()] * value
+
+    for at in atoms:
+        z = at.GetAtomicNum()
+        idx = at.GetIdx()
+        if z == 1:
+            pq[idx] = 0.0
+        elif z == 7:
+            pq[idx] = 0.0
+            if not at.GetIsAromatic():
+                damp_neighbors(at, 0.25)
+                if at.GetTotalNumHs() != 0:
+                    for b in at.GetBonds():
+                        nb = b.GetOtherAtom(at)
+                        pq[nb.GetIdx()] = 0.0
+                        damp_neighbors(nb, 0.0)
+        elif z == 8:
+            pq[idx] = 0.0
+            if not at.GetIsAromatic():
+                damp_neighbors(at, 0.25)
+                for b in at.GetBonds():
+                    nb = b.GetOtherAtom(at)
+                    if nb.GetAtomicNum() == 1:    # O-H: kill neighbourhood
+                        for b1 in at.GetBonds():
+                            nnb = b1.GetOtherAtom(at)
+                            pq[nnb.GetIdx()] = 0.0
+                            damp_neighbors(nnb, 0.0)
+                    if b.GetBondType().name == "DOUBLE":  # carbonyl O
+                        pq[nb.GetIdx()] = 0.0
+                        for b1 in nb.GetBonds():
+                            nnb = b1.GetOtherAtom(nb)
+                            if nnb.GetIdx() == at.GetIdx():
+                                continue
+                            pq[nnb.GetIdx()] = 0.0
+                            damp_neighbors(nnb, 0.6)
+        elif z == 16:
+            for b in at.GetBonds():
+                nb = b.GetOtherAtom(at)
+                if nb.GetAtomicNum() == 1:
+                    pq[idx] = 0.0
+                    damp_neighbors(at, 0.0)
+                if b.GetBondType().name == "DOUBLE":
+                    pq[idx] = 0.0
+                    damp_neighbors(at, 0.6)
+        if at.GetFormalCharge() != 0:
+            for b in at.GetBonds():
+                nb = b.GetOtherAtom(at)
+                pq[nb.GetIdx()] = 0.0
+                damp_neighbors(nb, 0.0)
+
+    out = np.zeros(len(atoms), np.float32)
+    for at in atoms:
+        v = pq[at.GetIdx()]
+        # final thresholding (reference :436-439): 0.36 products and
+        # sub-0.25 values are noise, except the exact 0.15 chain product
+        if abs(v - 0.36) <= 1e-6 or (v < 0.25 and abs(v - 0.15) > 1e-6):
+            v = 0.0
+        out[at.GetIdx()] = v
+    return out
+
+
+def ancphore_hy_groups(mol, threshold: float = LIPO_THRESHOLD
+                       ) -> List[np.ndarray]:
+    """Hydrophobic feature points by the full AncPhore recipe (reference
+    `hy_check(follow_ancphore=True)`, `generate_phorefp.py:263-302`):
+    per-atom pcharge x accessible-VDW-surface AREA (probe 1.4, x4 pi r^2),
+    then small rings (<7) and >2-H centres (plus their 1-H neighbours)
+    whose summed score exceeds 9.87 become group centroids."""
+    from . import phorefp  # gated: phorefp.Chem is the (fake or real) rdkit
+
+    Chem = phorefp.Chem
+    mol = Chem.RemoveHs(mol)
+    atoms = list(mol.GetAtoms())
+    pos = np.asarray(mol.GetConformer().GetPositions(), np.float32)
+    elements = [a.GetAtomicNum() for a in atoms]
+    radii = atom_radii(elements)
+    score = label_lipo_atoms(mol)
+    for at in atoms:
+        i = at.GetIdx()
+        if at.GetAtomicNum() != 1 and score[i] != 0.0:
+            frac = accessible_surface_fraction(pos, radii, i, probe=1.4)
+            score[i] = frac * 4.0 * np.pi * radii[i] ** 2 * score[i]
+
+    centers: List[np.ndarray] = []
+    remaining = set(range(len(atoms)))
+    for ring in Chem.GetSSSR(mol):
+        ring = list(ring)
+        if len(ring) < 7:
+            remaining -= set(ring)
+            if score[ring].sum() > threshold:
+                centers.append(pos[ring].mean(axis=0))
+
+    for i in sorted(remaining):
+        at = atoms[i]
+        if at.GetTotalNumHs() > 2:
+            group = [i]
+            s = score[i]
+            for b in at.GetBonds():
+                nb = b.GetOtherAtom(at)
+                if nb.GetTotalNumHs() == 1 and at.GetAtomicNum() != 1:
+                    group.append(nb.GetIdx())
+                    s += score[nb.GetIdx()]
+            if s > threshold:
+                centers.append(pos[group].mean(axis=0))
+    return centers

@@ -34,8 +34,7 @@ Reference math: `AttentionLayerO2TwoUpdateNodeGeneral`
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rbf import (angular_encoding, angular_encoding_freq_bands,
-                  gaussian_smearing, gaussian_smearing_offsets)
+from .rbf import angular_encoding_freq_bands, gaussian_smearing_offsets
 
 LN_EPS = 1e-6
 NEG_INF = -1e9
@@ -580,9 +578,6 @@ def layer_stack_xla(packed: Dict[str, jnp.ndarray], h, x, hb,
     return jax.vmap(per_graph, in_axes=(0, 0, 0, 0))(h, x, hb, tables)
 
 
-def _layer_math_carry(carry, wl, tbl, dims):
-    h, x, hb = carry
-    return _layer_math(wl, h, x, hb, tbl, dims)
 
 
 # --------------------------------------------------------------------------

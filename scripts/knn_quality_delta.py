@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--eval_batches", type=int, default=4)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--knn", default="0,16,8")
+    ap.add_argument("--corpus", default="chains",
+                    choices=["chains", "mixed"],
+                    help="eval-set generator; 'mixed' = the real-phore-"
+                         "anchored corpus (use with checkpoints trained "
+                         "on it)")
+    ap.add_argument("--out_suffix", default="",
+                    help="suffix for the output JSON (e.g. '_r03')")
     ap.add_argument("--bucket", type=int, default=32,
                     help="ligand bucket (32 = ZINC scale, 80 = fine-tune "
                          "stage shape with 78-atom molecules)")
@@ -66,8 +73,12 @@ def main():
     from phoregen_tpu.train.step import make_eval_step, make_train_step
 
     cfg = default_config("zinc_300")
-    cfg.dataset.ligand_buckets = [args.bucket]
-    cfg.dataset.max_phore = 32
+    if args.corpus == "mixed":
+        cfg.dataset.ligand_buckets = [args.bucket]
+        cfg.dataset.max_phore = 96
+    else:
+        cfg.dataset.ligand_buckets = [args.bucket]
+        cfg.dataset.max_phore = 32
     cfg.finalize()
 
     # ---- weights (exact-attention model) ----
@@ -75,7 +86,11 @@ def main():
     B = args.batch_size
     if args.ckpt:
         from phoregen_tpu.train.checkpoint import load_checkpoint
-        samples = synthetic_dataset(args.seed, B, max_atoms=30)
+        if args.corpus == "mixed":
+            from phoregen_tpu.data.realcorpus import mixed_corpus
+            samples = mixed_corpus(args.seed, B)
+        else:
+            samples = synthetic_dataset(args.seed, B, max_atoms=30)
         loader = PhoreDataLoader(samples, cfg, B, shuffle=False)
         params = pg.init_params(jax.random.PRNGKey(0), next(iter(loader)))
         state, _ = load_checkpoint(args.ckpt,
@@ -110,7 +125,12 @@ def main():
         src = f"quick-train x{args.train_steps}"
 
     # fixed eval batches (held-out seed)
-    if args.bucket > 32:
+    if args.corpus == "mixed":
+        from phoregen_tpu.data.realcorpus import mixed_corpus
+        ev = mixed_corpus(args.seed + 1, args.eval_batches * B * 2)
+        ev = [s for s in ev if s.n_atoms <= args.bucket][
+            : args.eval_batches * B]
+    elif args.bucket > 32:
         from phoregen_tpu.data.synthetic import synthetic_raw
         rng1 = np.random.default_rng(args.seed + 1)
         ev = [synthetic_raw(rng1, "zinc_300", n_atoms=args.bucket - 2)
@@ -148,9 +168,9 @@ def main():
     out = {"weights": src, "bucket": args.bucket,
            "eval_batches": args.eval_batches,
            "batch_size": B, "results": results}
-    path = os.path.join(
-        REPO, "KNN_QUALITY.json" if args.bucket == 32
-        else f"KNN_QUALITY_nl{args.bucket}.json")
+    name = ("KNN_QUALITY" if args.bucket == 32
+            else f"KNN_QUALITY_nl{args.bucket}") + args.out_suffix
+    path = os.path.join(REPO, name + ".json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"[knn_delta] wrote {path}", flush=True)

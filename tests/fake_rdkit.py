@@ -90,12 +90,20 @@ class FakeAtom:
                 out.append(self._mol._atoms[b._i])
         return out
 
+    def GetBonds(self):
+        return [b for b in self._mol._bonds
+                if self._idx in (b._i, b._j)]
+
 
 class FakeBond:
     def __init__(self, i, j, btype):
         self._i = i
         self._j = j
         self._type = btype
+
+    def GetOtherAtom(self, atom):
+        other = self._j if atom.GetIdx() == self._i else self._i
+        return atom._mol._atoms[other]
 
     def GetBondType(self):
         return self._type

@@ -144,3 +144,40 @@ def test_surface_lipo_and_hy_groups(gated):
     m._atoms[6]._charge = 1
     lipo2 = surf_mod.lipo_contributions(m)
     assert lipo2[6] == 0.0
+
+
+def test_ancphore_lipo_label_rules(gated):
+    """Full-depth AncPhore pcharge rules (reference
+    `generate_phorefp.py:372-443`): aliphatic carbons keep 1.0, N/O centres
+    are 0, carbons one bond from an amine are damped below the final
+    threshold (-> 0)."""
+    _, _, _, surf_mod = gated
+    m = fake.benzene_with_tail()  # aromatic ring + C-C-O-H-ish tail
+    pq = surf_mod.label_lipo_atoms(m)
+    els = [a.GetAtomicNum() for a in m.GetAtoms()]
+    for i, z in enumerate(els):
+        if z == 8 or z == 7:
+            assert pq[i] == 0.0
+    # at least one pure carbon retains full lipophilicity
+    assert any(pq[i] == 1.0 for i, z in enumerate(els) if z == 6)
+    # no value survives below the 0.25 cutoff (except the 0.15 product)
+    assert all(v == 0.0 or v >= 0.25 - 1e-6 or abs(v - 0.15) < 1e-6
+               for v in pq)
+
+
+def test_ancphore_hy_groups_on_cyclohexane(gated):
+    """A bare carbocycle's summed exposed-surface lipophilicity exceeds the
+    9.87 threshold -> one HY centroid at the ring centre."""
+    _, _, _, surf_mod = gated
+    import numpy as np
+    n = 6
+    ang = np.arange(n) * np.pi / 3
+    r = 1.54 / (2 * np.sin(np.pi / n))
+    pos = np.stack([r * np.cos(ang), r * np.sin(ang), np.zeros(n)], -1)
+    atoms = [fake.FakeAtom(i, 6, in_ring=True, num_hs=2) for i in range(n)]
+    bonds = [fake.FakeBond(i, (i + 1) % n, fake.BondType.SINGLE)
+             for i in range(n)]
+    m = fake.FakeMol(atoms, bonds, pos=pos, rings=[tuple(range(n))])
+    centers = surf_mod.ancphore_hy_groups(m)
+    assert len(centers) == 1
+    assert np.linalg.norm(centers[0] - pos.mean(0)) < 1e-5
