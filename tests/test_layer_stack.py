@@ -132,3 +132,33 @@ def test_pallas_interpret_matches_xla(batch_and_key):
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
                                    atol=5e-4, err_msg=name)
+
+
+def test_fused_stack_inside_sampler_scan(batch_and_key):
+    """End-to-end: the fused paths run inside the jitted reverse scan and
+    match the standard path through 6 full reverse steps (~1e-5)."""
+    import numpy as np
+    from phoregen_tpu.sample.sampler import Sampler
+    from phoregen_tpu.ops import layer_stack as ls
+
+    def run(mode, params=None):
+        cfg = _setup(mode, freeze=(mode == "none"))
+        cfg.model.diff.num_timesteps = 6
+        pg = PhoreGen(cfg)
+        batch, _ = batch_and_key
+        if params is None:
+            params = pg.init_params(jax.random.PRNGKey(0), batch)
+        s = Sampler(pg)
+        out = jax.jit(lambda p, k, b: s.sample(p, k, b))(
+            params, jax.random.PRNGKey(5), batch)
+        return params, np.asarray(out["pred_pos"])
+
+    params, pos_none = run("none")
+    _, pos_xla = run("xla", params)
+    np.testing.assert_allclose(pos_none, pos_xla, rtol=1e-3, atol=1e-4)
+    ls._FORCE_INTERPRET = True
+    try:
+        _, pos_pal = run("pallas", params)
+    finally:
+        ls._FORCE_INTERPRET = False
+    np.testing.assert_allclose(pos_xla, pos_pal, rtol=1e-3, atol=1e-4)
