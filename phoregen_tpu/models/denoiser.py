@@ -241,7 +241,11 @@ class UniDenoiser(nn.Module):
                         factorized=self.triplet_mode == "factorized",
                         triplet_knn=self.triplet_knn > 0,
                         no_x2h_out_fc=not self.x2h_out_fc,
-                        use_global_ew=self.use_global_ew)
+                        use_global_ew=self.use_global_ew,
+                        # the packed-weight layout hard-codes the flagship
+                        # edge-feature split [4x20 RBF | 4 type | 9 dire]
+                        num_r_gaussian_20=self.num_r_gaussian == 20,
+                        edge_feat_dim_4=self.edge_feat_dim == 4)
         missing = [k for k, v in required.items() if not v]
         if missing:
             raise ValueError(

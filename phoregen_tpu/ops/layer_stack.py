@@ -319,25 +319,24 @@ def _atan2_nonneg(y, x):
     return jnp.where(x < 0, np.float32(np.pi) - r, r)
 
 
-def _stage_node(w, h, x, hb, t, d: StackDims):
-    """Stage A: edge features + knn/bond node updates -> (new_h, e_pre4).
+def _knn_edge_prefeat(w, x, t, d: StackDims, lo: int, hi: int):
+    """Edge-feature first-layer pre-activation columns [lo:hi) of the packed
+    4H-wide fused matmul, recomputed from tables + positions.
 
-    w: dict of THIS layer's packed weights (no leading L).
-    h [N,H] f32; x [N,3]; hb [NL,NL,H]; t: tables dict for one graph
-    (plus 'edge_type' [N*K,4], 'e_w' [N*K,1], 'phore_norm' [NP,3]).
+    Column-slicing the weight operand before the matmul is exact
+    ((A @ W)[:, c] == A @ W[:, c]), so stage A (node cols [0, 2H)) and
+    stage C (pos cols [2H, 4H)) computing their own halves is numerically
+    identical to materializing the full e_pre4 — while keeping the 4 MB
+    [N*K, 4H] intermediate out of VMEM/HBM entirely (it was the scoped-
+    VMEM OOM at B=16 through the double-buffered stage pipeline).
+
+    Returns (e_pre [N*K, hi-lo], rel [N*K, 3]).
     """
-    N, NL, NP, K, K8 = d.N, d.NL, d.NP, d.K, d.K8
-    H, heads, Wt = d.H, d.heads, d.Wt
-    dh = H // heads
-    f32 = jnp.float32
+    N, NL, NP, K = d.N, d.NL, d.NP, d.K
     _, coeff = gaussian_smearing_offsets(fix_offset=True)
     offsets = w["rbf_off"]                         # [20]
-
     nbr_oh = t["nbr_onehot"]                       # [N*K, N]
-    nbr_mask = t["nbr_mask"]                       # [N,K,1] float
-    e_w = t["e_w"]                                 # [N*K,1]
 
-    # ---- knn edge features ----
     # NOTE (Mosaic): never reshape a lazily-broadcast value — broadcasts
     # happen implicitly inside arithmetic at rank 3, and only materialized
     # results get flat reshapes.
@@ -361,17 +360,38 @@ def _stage_node(w, h, x, hb, t, d: StackDims):
         ).reshape(N * K, 3)
     dire9 = dire3 @ w["dire_W"] + w["dire_b"]
 
-    # ---- fused knn first layers (node k/v + pos k/v share the edge work).
     # edge_feat = [etype x rbf (type-major 80), etype 4, dire 9]; applied
     # decomposed (no [N*K,93] concat, no lane-splitting reshape):
-    #   e_pre4 = sum_t etype_t * (rbf @ W_o_t) + etype @ W_t + dire9 @ W_d
-    e_pre4 = w["e_b"] + etype @ w["e_W"][80:84] + dire9 @ w["e_W"][84:]
+    #   e_pre = sum_t etype_t * (rbf @ W_o_t) + etype @ W_t + dire9 @ W_d
+    e_pre = (w["e_b"][lo:hi] + etype @ w["e_W"][80:84, lo:hi]
+             + dire9 @ w["e_W"][84:, lo:hi])
     for t4 in range(4):
-        e_pre4 = e_pre4 + etype[:, t4:t4 + 1] * (
-            rbf @ w["e_W"][t4 * 20:(t4 + 1) * 20])
+        e_pre = e_pre + etype[:, t4:t4 + 1] * (
+            rbf @ w["e_W"][t4 * 20:(t4 + 1) * 20, lo:hi])
+    return e_pre, rel
+
+
+def _stage_node(w, h, x, hb, t, d: StackDims):
+    """Stage A: edge features + knn/bond node updates -> new_h.
+
+    w: dict of THIS layer's packed weights (no leading L).
+    h [N,H] f32; x [N,3]; hb [NL,NL,H]; t: tables dict for one graph
+    (plus 'edge_type' [N*K,4], 'e_w' [N*K,1], 'phore_norm' [NP,3]).
+    """
+    N, NL, NP, K, K8 = d.N, d.NL, d.NP, d.K, d.K8
+    H, heads, Wt = d.H, d.heads, d.Wt
+    dh = H // heads
+    f32 = jnp.float32
+
+    nbr_oh = t["nbr_onehot"]                       # [N*K, N]
+    nbr_mask = t["nbr_mask"]                       # [N,K,1] float
+    e_w = t["e_w"]                                 # [N*K,1]
+
+    # ---- fused knn first layers, node k/v columns [0, 2H) ----
+    e_pre2, _rel = _knn_edge_prefeat(w, x, t, d, 0, 2 * H)
     nproj_h = h @ w["e_Wn_h"]                      # [N,4H]
     j_h = nbr_oh @ nproj_h[:, 2 * H:]
-    pre_kv = ((e_pre4[:, :2 * H] + j_h).reshape(N, K, 2 * H)
+    pre_kv = ((e_pre2 + j_h).reshape(N, K, 2 * H)
               + jnp.expand_dims(nproj_h[:, :2 * H], 1)
               ).reshape(N * K, 2 * H)
     k_n = jax.nn.relu(_ln(pre_kv[:, :H], w["e_ln_s"][0], w["e_ln_b"][0]))
@@ -415,7 +435,7 @@ def _stage_node(w, h, x, hb, t, d: StackDims):
     out_b = jnp.concatenate([jnp.zeros((NP, H), h.dtype), out_b_l], 0)
 
     new_h = h + (out_e + out_b) @ w["lin_W"] + w["lin_b"]
-    return new_h, e_pre4
+    return new_h
 
 
 def _stage_triplet(w, h, x, hb, t, d: StackDims):
@@ -483,7 +503,7 @@ def _stage_triplet(w, h, x, hb, t, d: StackDims):
     return hb + t_out
 
 
-def _stage_pos(w, new_h, x, hb_new, e_pre4, t, d: StackDims):
+def _stage_pos(w, new_h, x, hb_new, t, d: StackDims):
     """Stage C: knn + bond-grid position updates -> x_new."""
     N, NL, NP, K = d.N, d.NL, d.NP, d.K
     H, heads = d.H, d.heads
@@ -493,14 +513,13 @@ def _stage_pos(w, new_h, x, hb_new, e_pre4, t, d: StackDims):
     e_w = t["e_w"]
     hm = w["head_mask"]
     pos_l = x[NP:]
-    # rel recomputed from x (cheap: one [N*K,N]@[N,3] matmul)
-    x_nbr = nbr_oh @ x
-    rel = (x[:, None, :] - x_nbr.reshape(N, K, 3)).reshape(N * K, 3)
 
-    # ---- pos update via knn edges (uses new_h) ----
+    # ---- pos update via knn edges (uses new_h); edge pre-features
+    # recomputed for the pos k/v columns [2H, 4H) — see _knn_edge_prefeat
+    e_pre2, rel = _knn_edge_prefeat(w, x, t, d, 2 * H, 4 * H)
     nproj_x = new_h @ w["e_Wn_nh"]
     j_x = nbr_oh @ nproj_x[:, 2 * H:]
-    pre_x = ((e_pre4[:, 2 * H:] + j_x).reshape(N, K, 2 * H)
+    pre_x = ((e_pre2 + j_x).reshape(N, K, 2 * H)
              + jnp.expand_dims(nproj_x[:, :2 * H], 1)
              ).reshape(N * K, 2 * H)
     xk = jax.nn.relu(_ln(pre_x[:, :H], w["e_ln_s"][2], w["e_ln_b"][2]))
@@ -551,9 +570,9 @@ def _stage_pos(w, new_h, x, hb_new, e_pre4, t, d: StackDims):
 
 def _layer_math(w, h, x, hb, t, d: StackDims):
     """One attention layer on packed weights = the three stages composed."""
-    new_h, e_pre4 = _stage_node(w, h, x, hb, t, d)
+    new_h = _stage_node(w, h, x, hb, t, d)
     hb_new = _stage_triplet(w, h, x, hb, t, d)
-    x_new = _stage_pos(w, new_h, x, hb_new, e_pre4, t, d)
+    x_new = _stage_pos(w, new_h, x, hb_new, t, d)
     return new_h, x_new, hb_new
 
 
@@ -588,8 +607,10 @@ def layer_stack_xla(packed: Dict[str, jnp.ndarray], h, x, hb,
 # smaller stage kernels (node update / triplet / pos update) compile in
 # minutes, are each compiled ONCE (layers share shapes; only weight values
 # differ), and still collapse the per-iteration thunk count ~100x. The
-# stage intermediates (new_h, e_pre4, hb_new) pass through HBM — a few MB
-# per layer, negligible against the saved grid traffic.
+# stage intermediates (new_h, hb_new) pass through HBM — a few hundred KB
+# per layer; the [N*K, 4H] edge pre-features are NOT an intermediate: each
+# stage recomputes its own weight-column half (exact, and the difference
+# between fitting and OOMing the 16 MB scoped VMEM at B=16).
 # --------------------------------------------------------------------------
 
 _FORCE_INTERPRET = False
@@ -604,11 +625,12 @@ _TRIP_W = ("rbf_off", "t_Whb", "t_Wr", "t_Wn", "t_b", "t_Wji", "t_Wang",
            "t_ln_s", "t_ln_b", "t_out_W", "t_out_b", "tq_Whb", "tq_Wi",
            "tq_b0", "tq_ln_s", "tq_ln_b", "tq_W1", "tq_b1")
 _TRIP_T = ("trip_sel", "trip_sel_row", "trip_valid")
-_POS_W = ("e_Wn_nh", "e_ln_s", "e_ln_b", "e_xk2", "e_xk2b", "e_xv2",
-          "e_xv2b", "head_mask", "q_W0", "q_b0", "q_ln_s", "q_ln_b",
-          "q_W1", "q_b1", "p_W", "p_b", "p_Wn", "p_ln_s", "p_ln_b",
-          "p_xk2", "p_xk2b", "p_xv2", "p_xv2b")
-_POS_T = ("nbr_onehot", "nbr_mask", "pair_mask", "e_w", "mask_l")
+_POS_W = ("rbf_off", "dire_W", "dire_b", "e_W", "e_b", "e_Wn_nh", "e_ln_s",
+          "e_ln_b", "e_xk2", "e_xk2b", "e_xv2", "e_xv2b", "head_mask",
+          "q_W0", "q_b0", "q_ln_s", "q_ln_b", "q_W1", "q_b1", "p_W", "p_b",
+          "p_Wn", "p_ln_s", "p_ln_b", "p_xk2", "p_xk2b", "p_xv2", "p_xv2b")
+_POS_T = ("nbr_onehot", "nbr_mask", "lig3_w", "pair_mask", "edge_type",
+          "e_w", "phore_norm", "mask_l")
 
 
 def _stage_pallas(stage_fn, w_keys, t_keys, n_arr, out_shapes, dims,
@@ -673,19 +695,18 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
 
     node_call = _stage_pallas(
         lambda w, t, h_, x_, hb_: _stage_node(w, h_, x_, hb_, t, dims),
-        _NODE_W, _NODE_T, 3, [(N, H), (N * K, 4 * H)], dims, interpret)
+        _NODE_W, _NODE_T, 3, [(N, H)], dims, interpret)
     trip_call = _stage_pallas(
         lambda w, t, h_, x_, hb_: _stage_triplet(w, h_, x_, hb_, t, dims),
         _TRIP_W, _TRIP_T, 3, [(NL, NL, H)], dims, interpret)
     pos_call = _stage_pallas(
-        lambda w, t, nh_, x_, hbn_, ep_: _stage_pos(w, nh_, x_, hbn_, ep_,
-                                                    t, dims),
-        _POS_W, _POS_T, 4, [(N, 3)], dims, interpret)
+        lambda w, t, nh_, x_, hbn_: _stage_pos(w, nh_, x_, hbn_, t, dims),
+        _POS_W, _POS_T, 3, [(N, 3)], dims, interpret)
 
     for l in range(L):
         w_l = jax.tree_util.tree_map(lambda a: a[l], packed)
-        new_h, e_pre4 = node_call(w_l, tables, h, x, hb)
+        new_h = node_call(w_l, tables, h, x, hb)
         hb = trip_call(w_l, tables, h, x, hb)
-        x = pos_call(w_l, tables, new_h, x, hb, e_pre4)
+        x = pos_call(w_l, tables, new_h, x, hb)
         h = new_h
     return h, x, hb
