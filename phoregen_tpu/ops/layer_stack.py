@@ -78,14 +78,11 @@ def build_block_tables(x, node_mask, nbr_idx, nbr_mask, num_phore: int,
     cnt = jnp.maximum(jnp.sum(lig3_mask.astype(dtype), -1), 1.0)
     w3 = jnp.sum(w3, axis=2) / cnt[..., None]              # [B,NL,NL]
 
-    # kNN triplet selection over the flattened bond grid:
-    # S[(j,k), (m,j')] = 1 iff m == trip_idx[j,k] and j' == j
+    # kNN triplet selection: one-hot over source nodes only ([B,j,K8,m] —
+    # the per-j bond-grid gather happens in-kernel as a leading-axis
+    # reduce, so no [NL*K8, NL*NL] selection matrix is ever materialized)
     trip_idx, trip_mask = knn_neighbors(pos_l, mask_l, trip_k)  # [B,NL,K8]
     k_oh = jax.nn.one_hot(trip_idx, NL, dtype=dtype)       # [B,j,K8,m]
-    j_oh = jnp.eye(NL, dtype=dtype)                        # [j, j']
-    sel = (k_oh[:, :, :, :, None] * j_oh[None, :, None, None, :]
-           )                                               # [B,j,K8,m,j']
-    sel = sel.reshape(B, NL * trip_k, NL * NL)
     sel_row = k_oh.reshape(B, NL * trip_k, NL)             # pos_k gather
 
     # triplet validity: k neighbour valid & i valid & k != i & j != i
@@ -104,7 +101,6 @@ def build_block_tables(x, node_mask, nbr_idx, nbr_mask, num_phore: int,
         "nbr_onehot": nbr_oh.reshape(B, N * K, N),
         "nbr_mask": nbr_mask.astype(dtype)[..., None],     # [B,N,K,1]
         "lig3_w": w3,                                      # [B,NL,NL]
-        "trip_sel": sel,                                   # [B,NL*K8,NL*NL]
         "trip_sel_row": sel_row,                           # [B,NL*K8,NL]
         "trip_valid": trip_valid.astype(dtype),            # [B,K8,NL,NL]
         "pair_mask": pair_mask.astype(dtype)[..., None],   # [B,NL,NL,1]
@@ -208,16 +204,26 @@ def pack_layer_params(raw: Dict[str, Any], hidden: int, fe: int,
     out["t_Wang"] = bond["tf_ang_w"].astype(dtype)
     out["t_ln_s"] = bond["tf_ln_scale"].astype(dtype)
     out["t_ln_b"] = bond["tf_ln_bias"].astype(dtype)
-    out["t_out_W"] = bond["tf_out"]["kernel"].astype(dtype)
-    out["t_out_b"] = bond["tf_out"]["bias"].astype(dtype)
     tq = _mlp_parts(bond["tf_q"])
     out["tq_Whb"] = tq[0][:, :H].astype(dtype)
     out["tq_Wi"] = tq[0][:, H:].astype(dtype)
     out["tq_b0"] = tq[1].astype(dtype)
     out["tq_ln_s"] = tq[2].astype(dtype)
     out["tq_ln_b"] = tq[3].astype(dtype)
-    out["tq_W1"] = tq[4].astype(dtype)
-    out["tq_b1"] = tq[5].astype(dtype)
+    # per-head LEADING layouts so the kernel's fori_loop over heads indexes
+    # the major axis (static-shape dynamic_slice; buffers reused per step —
+    # a python-unrolled head loop kept every head's temporaries live and
+    # blew the scoped-VMEM stack)
+    L = tq[5].shape[0]
+    Wt_ = bond["tf_ln_scale"].shape[-1]
+    n_heads_t = tq[5].shape[-1] // Wt_
+    out["t_out_W"] = (bond["tf_out"]["kernel"].astype(dtype)
+                      .reshape(L, n_heads_t, Wt_, H))       # [L,h,Wt,H]
+    out["t_out_b"] = bond["tf_out"]["bias"].astype(dtype)
+    out["tq_W1"] = (tq[4].astype(dtype)
+                    .reshape(L, H, n_heads_t, Wt_)
+                    .transpose(0, 2, 1, 3))                 # [L,h,H,Wt]
+    out["tq_b1"] = tq[5].astype(dtype).reshape(L, n_heads_t, Wt_)
 
     offsets, _ = gaussian_smearing_offsets(fix_offset=True)
     L = raw["lin_node"]["bias"].shape[0]
@@ -438,11 +444,14 @@ def _stage_node(w, h, x, hb, t, d: StackDims):
     return new_h
 
 
-def _stage_triplet(w, h, x, hb, t, d: StackDims):
-    """Stage B: factorized kNN triplet bond update -> hb_new (uses OLD h)."""
+def _stage_triplet_pre(w, h, x, hb, t, d: StackDims):
+    """Stage B1: head-independent triplet features.
+
+    Returns (pre_t [K8,NL,NL,Wt], q_z [NL*NL,H]). Split from the head
+    attention so each half fits the 16 MB scoped VMEM (the combined stage
+    peaked at 21 MB at B=16/NL=32)."""
     N, NL, NP, K8 = d.N, d.NL, d.NP, d.K8
     H, heads, Wt = d.H, d.heads, d.Wt
-    f32 = jnp.float32
     _, coeff = gaussian_smearing_offsets(fix_offset=True)
     offsets = w["rbf_off"]
     bands = [float(f) for f in angular_encoding_freq_bands(d.num_ang)]
@@ -466,41 +475,78 @@ def _stage_triplet(w, h, x, hb, t, d: StackDims):
     q_z = jax.nn.relu(_ln(q_pre, w["tq_ln_s"], w["tq_ln_b"])
                       ).reshape(NL * NL, H)
 
-    a_kj_j = (t["trip_sel"] @ a_kj.reshape(NL * NL, Wt)
-              ).reshape(NL, K8, Wt).transpose(1, 0, 2)      # [K8,j,Wt]
-    pos_k = (t["trip_sel_row"] @ pos_l
-             ).reshape(NL, K8, 3).transpose(1, 0, 2)        # [K8,j,3]
-    rel_ji = rel_l                                          # (j,i)
-    rel_ki = pos_k[:, :, None, :] - pos_l[None, None, :, :]  # [K8,j,i,3]
-    dot = jnp.sum(rel_ji[None, :, :, :] * rel_ki, -1)       # [K8,j,i]
+    # per-K8-slice construction: only [NL,NL,*] temporaries are live at any
+    # point (the full-size [K8,NL,NL,*] chain — rel_ki/dot/cross/angle/enc/
+    # a_ang/LN temps — peaked the Mosaic scoped-VMEM stack at 27 MB). The
+    # bond-grid gather a_kj[trip_idx[j,k], j] is a leading-axis masked
+    # reduce against the small [j,K8,m] one-hot (a flattened [NL*K8,NL*NL]
+    # selection matmul costs another 1 MB of VMEM input window). Slices are
+    # returned as a LIST so the Pallas kernel writes each straight into the
+    # output ref (no stacked [K8,...] temp); the XLA path stacks them.
+    selr3 = t["trip_sel_row"].reshape(NL, K8, NL)
     njsq = jnp.sum(rel_l * rel_l, -1)                       # [j,i]
-    nksq = jnp.sum(rel_ki * rel_ki, -1)
-    cross = jnp.sqrt(jnp.clip(njsq[None, :, :] * nksq - dot * dot,
-                              CROSS_SQ_EPS, None))
-    angle = _atan2_nonneg(cross, dot)
-    enc = jnp.concatenate(
-        [angle[..., None]]
-        + [jnp.sin(angle * f)[..., None] for f in bands]
-        + [jnp.cos(angle * f)[..., None] for f in bands], -1)
-    a_ang = enc @ w["t_Wang"]                               # [K8,j,i,Wt]
-    pre_t = (a_kj_j[:, :, None, :] + a_ji[None, :, :, :] + a_ang)
-    pre_t = jax.nn.relu(_ln(pre_t, w["t_ln_s"], w["t_ln_b"]))
-    # per-head attention: q/tf_out applied with weight column/row slices
-    # (no [.,heads,Wt] lane reshape, no multi-batch einsum); softmax/pool
-    # reduce over the LEADING K8 axis
-    t_acc = jnp.zeros((NL * NL, H), f32)
+    slices = []
+    for k in range(K8):
+        mk = selr3[:, k, :].T                               # [m,j]
+        a_kj_j_k = _reduce0(mk[:, :, None] * a_kj, jnp.add)  # [j,Wt]
+        pos_k_k = selr3[:, k, :] @ pos_l                    # [j,3]
+        rel_ki_k = pos_k_k[:, None, :] - pos_l[None, :, :]  # [j,i,3]
+        dot_k = jnp.sum(rel_l * rel_ki_k, -1)               # [j,i]
+        nksq_k = jnp.sum(rel_ki_k * rel_ki_k, -1)
+        cross_k = jnp.sqrt(jnp.clip(njsq * nksq_k - dot_k * dot_k,
+                                    CROSS_SQ_EPS, None))
+        angle_k = _atan2_nonneg(cross_k, dot_k)
+        enc_k = jnp.concatenate(
+            [angle_k[..., None]]
+            + [jnp.sin(angle_k * f)[..., None] for f in bands]
+            + [jnp.cos(angle_k * f)[..., None] for f in bands], -1)
+        a_ang_k = enc_k @ w["t_Wang"]                       # [j,i,Wt]
+        pre_k = a_kj_j_k[:, None, :] + a_ji + a_ang_k
+        slices.append(jax.nn.relu(_ln(pre_k, w["t_ln_s"], w["t_ln_b"])))
+    return slices, q_z
+
+
+def _stage_triplet_att(w, hb, pt, q_z, t, d: StackDims):
+    """Stage B2: per-head triplet attention on precomputed features.
+
+    `pt` is a callable k -> pre_t[k] ([NL,NL,Wt]): in the Pallas kernel it
+    loads slices straight from the input *ref* so the full [K8,NL,NL,Wt]
+    tensor never sits on the VMEM stack; scores and the softmax-weighted
+    pool are likewise built slice-wise with a linear accumulator (the
+    full-size products were the last ~2.7 MB over the 16 MB scoped limit).
+
+    q/tf_out weights packed head-leading, iterated with fori_loop so each
+    head's temporaries are REUSED (a python-unrolled loop kept 16 heads'
+    buffers live -> 35M scoped-VMEM stack). In the Pallas kernel the
+    per-head stacks (tq_W1/tq_b1/t_out_W) stay *refs* indexed by the loop
+    counter — `value[i]` with traced `i` is a gather, which Mosaic rejects.
+    Per head: no [.,heads,Wt] lane reshape, no multi-batch einsum;
+    softmax/pool reduce over the LEADING K8 axis."""
+    NL, H, heads, Wt, K8 = d.NL, d.H, d.heads, d.Wt, d.K8
+    f32 = jnp.float32
     inv_sw = 1.0 / float(np.sqrt(Wt))
     trip_valid = t["trip_valid"]                            # [K8,j,i]
-    for hh in range(heads):
-        q_h = (q_z @ w["tq_W1"][:, hh * Wt:(hh + 1) * Wt]
-               + w["tq_b1"][hh * Wt:(hh + 1) * Wt]).reshape(NL, NL, Wt)
-        sc_h = jnp.sum(pre_t * q_h[None, :, :, :], -1) * inv_sw  # [K8,j,i]
+
+    def head_body(hh, t_acc):
+        q_h = (q_z @ w["tq_W1"][hh] + w["tq_b1"][hh]).reshape(NL, NL, Wt)
+        sc_h = jnp.stack([jnp.sum(pt(k) * q_h, -1) for k in range(K8)],
+                         0) * inv_sw                        # [K8,j,i]
         al_h = _softmax0_unrolled(sc_h, trip_valid)
-        pooled = _reduce0(al_h[..., None] * pre_t, jnp.add)  # [NL,NL,Wt]
-        t_acc = t_acc + (pooled.reshape(NL * NL, Wt)
-                         @ w["t_out_W"][hh * Wt:(hh + 1) * Wt])
+        pooled = al_h[0][..., None] * pt(0)
+        for k in range(1, K8):
+            pooled = pooled + al_h[k][..., None] * pt(k)    # [NL,NL,Wt]
+        return t_acc + pooled.reshape(NL * NL, Wt) @ w["t_out_W"][hh]
+
+    t_acc = jax.lax.fori_loop(0, heads, head_body,
+                              jnp.zeros((NL * NL, H), f32))
     t_out = (t_acc + w["t_out_b"]).reshape(NL, NL, H)
     return hb + t_out
+
+
+def _stage_triplet(w, h, x, hb, t, d: StackDims):
+    """Stage B: factorized kNN triplet bond update -> hb_new (uses OLD h)."""
+    slices, q_z = _stage_triplet_pre(w, h, x, hb, t, d)
+    return _stage_triplet_att(w, hb, lambda k: slices[k], q_z, t, d)
 
 
 def _stage_pos(w, new_h, x, hb_new, t, d: StackDims):
@@ -621,10 +667,12 @@ _NODE_W = ("rbf_off", "dire_W", "dire_b", "e_W", "e_b", "e_Wn_h", "e_ln_s",
            "b_ln_b", "b_k2", "b_b2", "lin_W", "lin_b")
 _NODE_T = ("nbr_onehot", "nbr_mask", "lig3_w", "pair_mask", "edge_type",
            "e_w", "phore_norm")
-_TRIP_W = ("rbf_off", "t_Whb", "t_Wr", "t_Wn", "t_b", "t_Wji", "t_Wang",
-           "t_ln_s", "t_ln_b", "t_out_W", "t_out_b", "tq_Whb", "tq_Wi",
-           "tq_b0", "tq_ln_s", "tq_ln_b", "tq_W1", "tq_b1")
-_TRIP_T = ("trip_sel", "trip_sel_row", "trip_valid")
+_TRIP_PRE_W = ("rbf_off", "t_Whb", "t_Wr", "t_Wn", "t_b", "t_Wji", "t_Wang",
+               "t_ln_s", "t_ln_b", "tq_Whb", "tq_Wi", "tq_b0", "tq_ln_s",
+               "tq_ln_b")
+_TRIP_PRE_T = ("trip_sel_row",)
+_TRIP_ATT_W = ("t_out_W", "t_out_b", "tq_W1", "tq_b1")
+_TRIP_ATT_T = ("trip_valid",)
 _POS_W = ("rbf_off", "dire_W", "dire_b", "e_W", "e_b", "e_Wn_nh", "e_ln_s",
           "e_ln_b", "e_xk2", "e_xk2b", "e_xv2", "e_xv2b", "head_mask",
           "q_W0", "q_b0", "q_ln_s", "q_ln_b", "q_W1", "q_b1", "p_W", "p_b",
@@ -634,30 +682,43 @@ _POS_T = ("nbr_onehot", "nbr_mask", "lig3_w", "pair_mask", "edge_type",
 
 
 def _stage_pallas(stage_fn, w_keys, t_keys, n_arr, out_shapes, dims,
-                  interpret):
+                  interpret, ref_w_keys=(), ref_arr_idx=()):
     """Build a pallas_call for one stage: weights replicated (block = full
-    array), batch arrays/tables blocked per graph, grid (B,)."""
+    array), batch arrays/tables blocked per graph, grid (B,).
+
+    Weights named in `ref_w_keys` are handed to the stage math as VMEM
+    *refs* (not loaded values): per-head stacks indexed with a fori_loop
+    counter must be refs — `value[i]` with a traced `i` lowers to a gather,
+    which Mosaic rejects, while `ref[i]` is a supported dynamic load.
+    Array positions in `ref_arr_idx` likewise stay refs (with their leading
+    unit block dim) so large inputs can be sliced on demand instead of
+    materialized onto the VMEM stack."""
 
     def call(w_l, tables, *arrays):
         B = arrays[0].shape[0]
-        w_sub = {k: w_l[k] for k in w_keys}
-        t_sub = {k: tables[k] for k in t_keys}
-        wl, wdef = jax.tree_util.tree_flatten(w_sub)
-        tl, tdef = jax.tree_util.tree_flatten(t_sub)
+        wk = sorted(w_keys)
+        tk = sorted(t_keys)
+        wl = [w_l[k] for k in wk]
+        tl = [tables[k] for k in tk]
         n_w, n_t = len(wl), len(tl)
 
         def kernel(*refs):
-            w = jax.tree_util.tree_unflatten(
-                wdef, [r[...] for r in refs[:n_w]])
-            t = jax.tree_util.tree_unflatten(
-                tdef, [r[0] for r in refs[n_w:n_w + n_t]])
-            arrs = [r[0] for r in refs[n_w + n_t:n_w + n_t + n_arr]]
+            w = {k: (r if k in ref_w_keys else r[...])
+                 for k, r in zip(wk, refs[:n_w])}
+            t = {k: r[0] for k, r in zip(tk, refs[n_w:n_w + n_t])}
+            arrs = [r if i in ref_arr_idx else r[0]
+                    for i, r in enumerate(refs[n_w + n_t:n_w + n_t + n_arr])]
             outs = refs[n_w + n_t + n_arr:]
             res = stage_fn(w, t, *arrs)
             if not isinstance(res, tuple):
                 res = (res,)
             for o_ref, val in zip(outs, res):
-                o_ref[0] = val
+                if isinstance(val, list):
+                    # slice-wise writes (no stacked temp on the VMEM stack)
+                    for k, sl in enumerate(val):
+                        o_ref[0, k] = sl
+                else:
+                    o_ref[0] = val
 
         def w_spec(le):
             return pl.BlockSpec(le.shape,
@@ -692,13 +753,21 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
     stays in VMEM)."""
     L = packed["lin_b"].shape[0]
     N, NL, K, H = dims.N, dims.NL, dims.K, dims.H
+    K8, Wt = dims.K8, dims.Wt
 
     node_call = _stage_pallas(
         lambda w, t, h_, x_, hb_: _stage_node(w, h_, x_, hb_, t, dims),
         _NODE_W, _NODE_T, 3, [(N, H)], dims, interpret)
-    trip_call = _stage_pallas(
-        lambda w, t, h_, x_, hb_: _stage_triplet(w, h_, x_, hb_, t, dims),
-        _TRIP_W, _TRIP_T, 3, [(NL, NL, H)], dims, interpret)
+    trip_pre_call = _stage_pallas(
+        lambda w, t, h_, x_, hb_: _stage_triplet_pre(w, h_, x_, hb_, t,
+                                                     dims),
+        _TRIP_PRE_W, _TRIP_PRE_T, 3, [(K8, NL, NL, Wt), (NL * NL, H)],
+        dims, interpret)
+    trip_att_call = _stage_pallas(
+        lambda w, t, hb_, pt_, qz_: _stage_triplet_att(
+            w, hb_, lambda k: pt_[0, k], qz_, t, dims),
+        _TRIP_ATT_W, _TRIP_ATT_T, 3, [(NL, NL, H)], dims, interpret,
+        ref_w_keys=("tq_W1", "tq_b1", "t_out_W"), ref_arr_idx=(1,))
     pos_call = _stage_pallas(
         lambda w, t, nh_, x_, hbn_: _stage_pos(w, nh_, x_, hbn_, t, dims),
         _POS_W, _POS_T, 3, [(N, 3)], dims, interpret)
@@ -706,7 +775,8 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
     for l in range(L):
         w_l = jax.tree_util.tree_map(lambda a: a[l], packed)
         new_h = node_call(w_l, tables, h, x, hb)
-        hb = trip_call(w_l, tables, h, x, hb)
+        pre_t, q_z = trip_pre_call(w_l, tables, h, x, hb)
+        hb = trip_att_call(w_l, tables, hb, pre_t, q_z)
         x = pos_call(w_l, tables, new_h, x, hb)
         h = new_h
     return h, x, hb

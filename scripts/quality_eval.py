@@ -73,6 +73,12 @@ def main():
                     choices=["", "none", "xla", "pallas"],
                     help="denoiser.fused_stack override for the sampling "
                          "pipeline (whole-layer-stack kernel)")
+    ap.add_argument("--fail_budget_factor", type=int, default=3,
+                    help="abandon a phore after factor*num_samples failed "
+                         "attempts (reference fail-budget semantics)")
+    ap.add_argument("--recon_workers", type=int, default=0,
+                    help="host-side reconstruction worker processes "
+                         "(overlaps with device sampling)")
     ap.add_argument("--no_guidance", action="store_true",
                     help="disable the canonical sample.sh guidance recipe "
                          "(atom_prox 1-3 A + center_prox)")
@@ -160,7 +166,8 @@ def main():
     pipe = GenerationPipeline(pg, params, batch_size=args.batch_size,
                               add_edge="predicted", seed=args.seed,
                               chunk_steps=args.chunk_steps,
-                              guidance=guidance)
+                              guidance=guidance,
+                              recon_workers=args.recon_workers)
     per_phore, t_start = [], time.time()
     # in-distribution synthetic phores first (quality control for the
     # pipeline itself), then the real (OOD for quick-trained weights) set
@@ -188,7 +195,8 @@ def main():
     for path in sorted(glob.glob(args.phore_glob)):
         jobs.append(parse_phore_file(path))
     for phore in jobs:
-        res = pipe.generate(phore, args.num_samples)
+        res = pipe.generate(phore, args.num_samples,
+                            fail_budget_factor=args.fail_budget_factor)
         mols = res["mols"]
         attempted = res["n_finished"] + res["n_failed"]
         lo, up = res["count_interval"]
