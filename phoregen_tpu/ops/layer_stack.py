@@ -661,6 +661,14 @@ def layer_stack_xla(packed: Dict[str, jnp.ndarray], h, x, hb,
 
 _FORCE_INTERPRET = False
 
+# The Mosaic stack allocator's conservative liveness model books 17-27 MB
+# for stage bodies whose true per-step footprint is a few MB (every
+# unrolled-slice intermediate gets its own slot); the 16 MB scoped default
+# is a compiler heuristic, not the physical budget. Raise the cap and let
+# the real allocator place buffers.
+_VMEM_LIMIT = 96 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 _NODE_W = ("rbf_off", "dire_W", "dire_b", "e_W", "e_b", "e_Wn_h", "e_ln_s",
            "e_ln_b", "e_k2", "e_b2", "head_mask", "q_W0", "q_b0", "q_ln_s",
            "q_ln_b", "q_W1", "q_b1", "b_W", "b_b", "b_Wn", "b_ln_s",
@@ -671,8 +679,7 @@ _TRIP_PRE_W = ("rbf_off", "t_Whb", "t_Wr", "t_Wn", "t_b", "t_Wji", "t_Wang",
                "t_ln_s", "t_ln_b", "tq_Whb", "tq_Wi", "tq_b0", "tq_ln_s",
                "tq_ln_b")
 _TRIP_PRE_T = ("trip_sel_row",)
-_TRIP_ATT_W = ("t_out_W", "t_out_b", "tq_W1", "tq_b1")
-_TRIP_ATT_T = ("trip_valid",)
+# ATT stage: dedicated (B, heads)-grid kernel, see _att_pallas
 _POS_W = ("rbf_off", "dire_W", "dire_b", "e_W", "e_b", "e_Wn_nh", "e_ln_s",
           "e_ln_b", "e_xk2", "e_xk2b", "e_xv2", "e_xv2b", "head_mask",
           "q_W0", "q_b0", "q_ln_s", "q_ln_b", "q_W1", "q_b1", "p_W", "p_b",
@@ -739,8 +746,72 @@ def _stage_pallas(stage_fn, w_keys, t_keys, n_arr, out_shapes, dims,
             out_shape=[jax.ShapeDtypeStruct((B,) + s, jnp.float32)
                        for s in out_shapes],
             interpret=interpret or _FORCE_INTERPRET,
+            compiler_params=_COMPILER_PARAMS,
         )(*(wl + tl + list(arrays)))
         return out if len(out_shapes) > 1 else out[0]
+
+    return call
+
+
+def _att_pallas(dims: StackDims, interpret):
+    """Dedicated pallas_call for the triplet head attention: grid
+    (B, heads), ONE head per grid step, per-head weight slabs streamed by
+    BlockSpec index maps, hb/pre_t/q_z/trip_valid blocks revisited across
+    the minor head axis, and the output block accumulated in place
+    (init at h==0). Value-level restructurings of the fori_loop variant
+    kept 19-24 MB on the Mosaic scoped-VMEM stack; with the head axis in
+    the grid each step holds ~1 MB of temporaries."""
+    NL, H, heads, Wt, K8 = dims.NL, dims.H, dims.heads, dims.Wt, dims.K8
+    inv_sw = 1.0 / float(np.sqrt(Wt))
+
+    def kernel(tqW1, tqb1, toutW, toutb, hb, pt, qz, tv, out):
+        hh = pl.program_id(1)
+        # tq_b1 [heads, Wt] can't be blocked per head (sublane block of 1
+        # violates the (8,128) tiling rule); load the row from the full ref
+        q_h = (qz[0] @ tqW1[0] + tqb1[hh]).reshape(NL, NL, Wt)
+        sc = jnp.stack([jnp.sum(pt[0, k] * q_h, -1) for k in range(K8)],
+                       0) * inv_sw                          # [K8,j,i]
+        al = _softmax0_unrolled(sc, tv[0])
+        pooled = al[0][..., None] * pt[0, 0]
+        for k in range(1, K8):
+            pooled = pooled + al[k][..., None] * pt[0, k]   # [NL,NL,Wt]
+        contrib = (pooled.reshape(NL * NL, Wt) @ toutW[0]
+                   ).reshape(NL, NL, H)
+
+        @pl.when(hh == 0)
+        def _init():
+            out[0] = hb[0] + toutb[...] + contrib
+
+        @pl.when(hh != 0)
+        def _acc():
+            out[0] = out[0] + contrib
+
+    def call(w_l, tables, hb, pre_t, q_z):
+        B = hb.shape[0]
+
+        def rep(shape):      # same block for every (b, h)
+            nd = len(shape)
+            return pl.BlockSpec((1,) + shape[1:],
+                                lambda b, h, nd=nd: (b,) + (0,) * (nd - 1))
+
+        return pl.pallas_call(
+            kernel,
+            grid=(B, heads),
+            in_specs=[
+                pl.BlockSpec((1, H, Wt), lambda b, h: (h, 0, 0)),   # tq_W1
+                pl.BlockSpec((heads, Wt), lambda b, h: (0, 0)),     # tq_b1
+                pl.BlockSpec((1, Wt, H), lambda b, h: (h, 0, 0)),   # t_out_W
+                pl.BlockSpec((H,), lambda b, h: (0,)),              # t_out_b
+                rep(hb.shape), rep(pre_t.shape), rep(q_z.shape),
+                rep(tables["trip_valid"].shape),
+            ],
+            out_specs=pl.BlockSpec((1, NL, NL, H),
+                                   lambda b, h: (b, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, NL, NL, H), jnp.float32),
+            interpret=interpret or _FORCE_INTERPRET,
+            compiler_params=_COMPILER_PARAMS,
+        )(w_l["tq_W1"], w_l["tq_b1"], w_l["t_out_W"], w_l["t_out_b"],
+          hb, pre_t, q_z, tables["trip_valid"])
 
     return call
 
@@ -763,11 +834,7 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
                                                      dims),
         _TRIP_PRE_W, _TRIP_PRE_T, 3, [(K8, NL, NL, Wt), (NL * NL, H)],
         dims, interpret)
-    trip_att_call = _stage_pallas(
-        lambda w, t, hb_, pt_, qz_: _stage_triplet_att(
-            w, hb_, lambda k: pt_[0, k], qz_, t, dims),
-        _TRIP_ATT_W, _TRIP_ATT_T, 3, [(NL, NL, H)], dims, interpret,
-        ref_w_keys=("tq_W1", "tq_b1", "t_out_W"), ref_arr_idx=(1,))
+    trip_att_call = _att_pallas(dims, interpret)
     pos_call = _stage_pallas(
         lambda w, t, nh_, x_, hbn_: _stage_pos(w, nh_, x_, hbn_, t, dims),
         _POS_W, _POS_T, 3, [(N, 3)], dims, interpret)
