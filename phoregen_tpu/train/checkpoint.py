@@ -48,16 +48,48 @@ def save_checkpoint(path_prefix: str, state: TrainState, epoch: int,
         json.dump(meta, f, indent=1, default=str)
 
 
+def save_release(path_prefix: str, state: TrainState,
+                 config_dict: Dict[str, Any],
+                 extra: Optional[Dict[str, Any]] = None,
+                 use_ema: bool = False) -> None:
+    """Write a params-only *release* checkpoint (`release: true` sidecar):
+    the distributable analogue of the reference's published .pt weights —
+    ~4x smaller than a full TrainState (no optimizer moments), loadable by
+    `load_checkpoint`/the sample CLI but not resumable for training."""
+    params = state.ema_params if use_ema else state.params
+    with open(path_prefix + ".msgpack", "wb") as f:
+        f.write(serialization.to_bytes({"params": _to_host(params)}))
+    meta = {
+        "release": True,
+        "ema": bool(use_ema),
+        "step": int(np.asarray(state.step)),
+        "config": config_dict,
+    }
+    if extra:
+        meta.update(extra)
+    with open(path_prefix + ".json", "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+
+
 def load_checkpoint(path_prefix: str, state_template: TrainState
                     ) -> Tuple[TrainState, Dict[str, Any]]:
     """Restore a TrainState from `<prefix>.msgpack` using a freshly-created
-    state as the shape/structure template; returns (state, meta)."""
-    with open(path_prefix + ".msgpack", "rb") as f:
-        state = serialization.from_bytes(state_template, f.read())
+    state as the shape/structure template; returns (state, meta).
+
+    Release checkpoints (params-only, `release: true` in the sidecar)
+    restore into the template's params with fresh optimizer state."""
     meta = {}
     if os.path.exists(path_prefix + ".json"):
         with open(path_prefix + ".json") as f:
             meta = json.load(f)
+    with open(path_prefix + ".msgpack", "rb") as f:
+        blob = f.read()
+    if meta.get("release"):
+        full = serialization.msgpack_restore(blob)
+        params = serialization.from_state_dict(state_template.params,
+                                               full["params"])
+        return state_template.replace(params=params), meta
+    state = serialization.from_bytes(state_template, blob)
     if "lr" in meta:
         state = state.replace(
             opt_state=set_learning_rate(state.opt_state, meta["lr"]))

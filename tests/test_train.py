@@ -129,6 +129,34 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_release_checkpoint_roundtrip(tmp_path):
+    """Params-only release checkpoints restore through load_checkpoint
+    (fresh optimizer state) and are ~4x smaller than a full TrainState."""
+    import os
+
+    from phoregen_tpu.train.checkpoint import save_release
+
+    cfg = tiny_config()
+    pg = PhoreGen(cfg)
+    loader = PhoreDataLoader(synthetic_dataset(3, 8, max_atoms=12), cfg,
+                             cfg.train.batch_size, shuffle=False)
+    batch = next(iter(loader))
+    params = pg.init_params(jax.random.PRNGKey(1), batch)
+    state = create_train_state(cfg.train, params)
+    full_prefix = str(tmp_path / "full")
+    rel_prefix = str(tmp_path / "release")
+    save_checkpoint(full_prefix, state, epoch=1, config_dict=cfg.to_dict())
+    save_release(rel_prefix, state, cfg.to_dict(), extra={"note": "t"})
+    assert (os.path.getsize(rel_prefix + ".msgpack")
+            < 0.4 * os.path.getsize(full_prefix + ".msgpack"))
+    fresh = create_train_state(cfg.train, params)
+    restored, meta = load_checkpoint(rel_prefix, fresh)
+    assert meta["release"] is True and meta["note"] == "t"
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_run_epoch_loop_end_to_end(tmp_path):
     """Full Run.train: 2 epochs on synthetic data, history + checkpoints
     written, resume picks up at epoch 2."""
