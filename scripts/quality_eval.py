@@ -92,6 +92,10 @@ def main():
                          "prefix (reusable via --ckpt on later runs; "
                          "empty = don't save)")
     ap.add_argument("--out", default="")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated phore names to skip (follow-up "
+                         "runs after a timeout; merge rows afterwards with "
+                         "scripts/merge_quality_rows.py)")
     args = ap.parse_args()
 
     if args.platform:
@@ -194,7 +198,15 @@ def main():
             jobs.append(Phore(name=f"synthetic_{i}", features=feats))
     for path in sorted(glob.glob(args.phore_glob)):
         jobs.append(parse_phore_file(path))
+    skip = {s for s in args.skip.split(",") if s}
+    out_path = args.out or os.path.join(REPO, f"QUALITY_r{args.round:02d}.json")
+    # incremental per-row artifact: the full run is hours long and may be
+    # killed by wall-time caps; rows are recoverable via merge_quality_rows
+    rows_path = out_path + ".rows"
     for phore in jobs:
+        if phore.name in skip:
+            print(f"[quality_eval] skip {phore.name}", flush=True)
+            continue
         res = pipe.generate(phore, args.num_samples,
                             fail_budget_factor=args.fail_budget_factor)
         mols = res["mols"]
@@ -223,6 +235,8 @@ def main():
         }
         per_phore.append(row)
         print(json.dumps(row), flush=True)
+        with open(rows_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
 
     acc = sum(r["accepted"] for r in per_phore)
     att = sum(r["attempted"] for r in per_phore)
@@ -237,7 +251,6 @@ def main():
         "total_seconds": round(time.time() - t_start, 1),
         "per_phore": per_phore,
     }
-    out_path = args.out or os.path.join(REPO, f"QUALITY_r{args.round:02d}.json")
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"[quality_eval] wrote {out_path}", flush=True)
