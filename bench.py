@@ -56,6 +56,9 @@ def main():
     cfg.model.compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
     # whole-layer-stack fused execution (ops/layer_stack.py)
     cfg.model.denoiser.fused_stack = os.environ.get("BENCH_FUSED", "none")
+    # trace-time MLP application style (split = fewer FLOPs, concat = fewer
+    # compiled ops; identical params/algebra — models/layers.py)
+    cfg.model.denoiser.edge_mlp_apply = os.environ.get("BENCH_APPLY", "split")
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
 
     pg = PhoreGen(cfg)

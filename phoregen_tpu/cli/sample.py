@@ -62,6 +62,12 @@ def parse_args(argv=None):
                         "whole-layer-stack kernel, ops/layer_stack.py); "
                         "parameter-compatible with any checkpoint of the "
                         "flagship architecture")
+    p.add_argument("--edge_mlp_apply", default="",
+                   choices=["", "split", "concat"],
+                   help="override denoiser.edge_mlp_apply at sampling time "
+                        "(trace-time application style of the edge k/v "
+                        "MLPs; parameter-compatible — same param tree, "
+                        "identical algebra)")
     p.add_argument("--triplet_knn", type=int, default=-1,
                    help="override denoiser.triplet_knn at sampling time "
                         "(0 = exact triplet attention, K>0 = restrict to K "
@@ -144,6 +150,8 @@ def main(argv=None):
             cfg.model.denoiser.triplet_knn = args.triplet_knn
         if args.fused_stack:
             cfg.model.denoiser.fused_stack = args.fused_stack
+        if args.edge_mlp_apply:
+            cfg.model.denoiser.edge_mlp_apply = args.edge_mlp_apply
         pg = PhoreGen(cfg)
         params, pt_meta = load_reference_checkpoint(args.ckpt, cfg)
         params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -164,6 +172,8 @@ def main(argv=None):
         cfg.model.denoiser.triplet_knn = args.triplet_knn
     if args.fused_stack:
         cfg.model.denoiser.fused_stack = args.fused_stack
+    if args.edge_mlp_apply:
+        cfg.model.denoiser.edge_mlp_apply = args.edge_mlp_apply
 
     pg = PhoreGen(cfg)
     # template params for deserialization

@@ -112,6 +112,15 @@ class DenoiserConfig:
     # Fused modes freeze the layer-internal kNN index sets per block
     # (block_knn_freeze semantics) and require the flagship configuration.
     fused_stack: str = "none"
+    # How the attention layers' edge k/v MLPs are applied — same parameter
+    # tree and algebra either way (checkpoint-compatible, parity-tested):
+    # 'split' applies the first linear layer as per-input-block matmuls
+    # (edge term on the grid, node terms on the node axis; fewer FLOPs and
+    # bytes — the training default), 'concat' materializes the wide
+    # [.., Fe+2H] grid concat and applies each MLP whole (fewer compiled
+    # ops — faster for dispatch-bound 1000-step sampling on some runtimes;
+    # BASELINE.md round 3).
+    edge_mlp_apply: str = "split"
     # Freeze layer-internal kNN tables (dire 3-NN, kNN triplet sources)
     # once per block in the standard path (see UniDenoiser).
     block_knn_freeze: bool = False

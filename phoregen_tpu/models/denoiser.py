@@ -65,6 +65,7 @@ class UniDenoiser(nn.Module):
     use_global_ew: bool = True
     triplet_mode: str = "factorized"
     triplet_pool_follow_dtype: bool = True
+    edge_mlp_apply: str = "split"
     triplet_width: int = 32
     use_pallas_triplet: bool = False
     scan_layers: bool = True
@@ -129,7 +130,8 @@ class UniDenoiser(nn.Module):
                         triplet_width=self.triplet_width,
                         use_pallas_triplet=self.use_pallas_triplet,
                         triplet_knn=self.triplet_knn,
-                        triplet_pool_follow_dtype=self.triplet_pool_follow_dtype)
+                        triplet_pool_follow_dtype=self.triplet_pool_follow_dtype,
+                        edge_mlp_apply=self.edge_mlp_apply)
         body_kw = dict(layer_kw, block_knn_freeze=self.block_knn_freeze)
         if self.scan_layers:
             # one nn.scan'd layer with stacked params: the compiled body is
@@ -300,6 +302,7 @@ class _ScanLayerBody(nn.Module):
     direction_match: bool
     triplet_mode: str = "factorized"
     triplet_pool_follow_dtype: bool = True
+    edge_mlp_apply: str = "split"
     triplet_width: int = 32
     use_pallas_triplet: bool = False
     triplet_knn: int = 0
@@ -326,6 +329,7 @@ class _ScanLayerBody(nn.Module):
             use_pallas_triplet=self.use_pallas_triplet,
             triplet_knn=self.triplet_knn,
             triplet_pool_follow_dtype=self.triplet_pool_follow_dtype,
+            edge_mlp_apply=self.edge_mlp_apply,
             name="layer")(
             h, x, edge_type, nbr_idx, nbr_mask, h_bond, mask_l, pair_mask,
             node_mask, e_w=e_w, phore_norm=phore_norm, num_phore=NP,
@@ -350,6 +354,7 @@ class _AttentionLayer(nn.Module):
     direction_match: bool
     triplet_mode: str = "factorized"
     triplet_pool_follow_dtype: bool = True
+    edge_mlp_apply: str = "split"
     triplet_width: int = 32
     use_pallas_triplet: bool = False
     triplet_knn: int = 0
@@ -393,6 +398,7 @@ class _AttentionLayer(nn.Module):
         new_h_with_edge = NodeUpdateKNN(
             hidden_dim=self.hidden_dim, n_heads=self.n_heads, norm=self.norm,
             act_fn=self.act_fn, out_fc=self.x2h_out_fc,
+            apply_style=self.edge_mlp_apply,
             name="node_layer_with_edge")(h, edge_feat, nbr_idx, nbr_mask, e_w)
 
         # ligand-bond message passing on the ligand block
@@ -400,6 +406,7 @@ class _AttentionLayer(nn.Module):
         node_bond = NodeUpdateDense(
             hidden_dim=self.hidden_dim, n_heads=self.n_heads, norm=self.norm,
             act_fn=self.act_fn, out_fc=self.x2h_out_fc,
+            apply_style=self.edge_mlp_apply,
             name="node_layer_with_bond")
         if self.x2h_out_fc:
             # reference parity (`uni_denoiser.py:66-69`): with out_fc the
@@ -426,6 +433,7 @@ class _AttentionLayer(nn.Module):
             mode=self.triplet_mode, width=self.triplet_width,
             use_pallas=self.use_pallas_triplet, knn_k=self.triplet_knn,
             pool_follow_dtype=self.triplet_pool_follow_dtype,
+            apply_style=self.edge_mlp_apply,
             name="bond_layer")(h_lig, h_bond, x[:, NP:], mask_l,
                                trip_frozen=trip_frozen
                                ).astype(h_bond.dtype)
@@ -436,13 +444,15 @@ class _AttentionLayer(nn.Module):
         # position updates (ligand only)
         dx_edge = PosUpdateKNN(
             hidden_dim=self.hidden_dim, n_heads=self.n_heads, norm=self.norm,
-            act_fn=self.act_fn, name="pos_layer_with_edge")(
+            act_fn=self.act_fn, apply_style=self.edge_mlp_apply,
+            name="pos_layer_with_edge")(
             new_h, rel_x, edge_feat, nbr_idx, nbr_mask, e_w)
         pos_l = x[:, NP:]
         rel_bond_x = pos_l[:, None, :, :] - pos_l[:, :, None, :]  # x[dst]-x[src]
         dx_bond_l = PosUpdateDense(
             hidden_dim=self.hidden_dim, n_heads=self.n_heads, norm=self.norm,
-            act_fn=self.act_fn, name="pos_layer_with_bond")(
+            act_fn=self.act_fn, apply_style=self.edge_mlp_apply,
+            name="pos_layer_with_bond")(
             new_h[:, NP:], rel_bond_x, new_h_bond, pair_mask)
         dx_bond = jnp.concatenate(
             [jnp.zeros((B, NP, 3), x.dtype), dx_bond_l], axis=1)

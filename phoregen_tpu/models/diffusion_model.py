@@ -41,7 +41,8 @@ class PhoreDiffNet(nn.Module):
         if cfg.hp_emb_with_pos:
             self.phore_encoder = NodeUpdateDense(
                 hidden_dim=H, n_heads=d.n_heads, norm=d.norm,
-                act_fn=d.act_fn, out_fc=d.x2h_out_fc)
+                act_fn=d.act_fn, out_fc=d.x2h_out_fc,
+                apply_style=d.edge_mlp_apply)
         if cfg.bond_diffusion:
             self.edge_embedder = nn.Dense(H - td, use_bias=False)
             self.bond_inference_0 = nn.Dense(H)
@@ -63,6 +64,7 @@ class PhoreDiffNet(nn.Module):
             scan_layers=d.scan_layers,
             triplet_knn=d.triplet_knn,
             triplet_pool_follow_dtype=d.triplet_pool_follow_dtype,
+            edge_mlp_apply=d.edge_mlp_apply,
             remat_layers=d.remat_layers,
             block_knn_freeze=d.block_knn_freeze,
             fused_stack=d.fused_stack)

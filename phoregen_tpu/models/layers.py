@@ -133,6 +133,23 @@ def _ln_act_blocks(x, lns, act):
     return act(x)
 
 
+def _apply_mlp_params(p, x, act):
+    """Apply an `_EdgeMLPParams` tree as a plain 2-layer MLP over a
+    pre-concatenated input — the "concat" application style
+    (`denoiser.edge_mlp_apply`): one wide grid matmul instead of split
+    per-block matmuls. More grid FLOPs/bytes but fewer compiled ops; which
+    style is faster is runtime-dependent (BASELINE.md round 3), the algebra
+    and parameter tree are identical."""
+    k0, b0, ln, k1, b1 = p
+    y = x @ k0 + b0
+    if ln is not None:
+        scale, bias = ln
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - jnp.square(mu)
+        y = (y - mu) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
+    return act(y) @ k1 + b1
+
+
 def _pair_first_layer(edge_feat, h, p_k, p_v, fe, hn):
     """First linear layer of two parallel edge MLPs (k and v), applied as
     split matmuls over `concat([edge_feat, h_i, h_j])` without materializing
@@ -170,6 +187,7 @@ class NodeUpdateKNN(nn.Module):
     norm: bool = True
     act_fn: str = "relu"
     out_fc: bool = False
+    apply_style: str = "split"
 
     @nn.compact
     def __call__(self, h, edge_feat, nbr_idx, nbr_mask, e_w=None):
@@ -185,16 +203,23 @@ class NodeUpdateKNN(nn.Module):
                              self.norm, name="hk")()
         p_v = _EdgeMLPParams(in_dim, self.hidden_dim, self.hidden_dim,
                              self.norm, name="hv")()
-        edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k, p_v,
-                                                     fe, H)
-        pre = (edge_pre + node_i[:, :, None, :]
-               + gather_nodes(node_j, nbr_idx))               # [B,N,K,2H]
-        x = _ln_act_blocks(pre.reshape(B, N, K, 2, self.hidden_dim),
-                           (p_k[2], p_v[2]), act)
-        k1 = jnp.stack([p_k[3], p_v[3]])                      # [2, H, H]
-        b1 = jnp.stack([p_k[4], p_v[4]])
-        kv = jnp.einsum("bnkph,pho->bnkpo", x, k1) + b1       # [B,N,K,2,H]
-        k, v = kv[..., 0, :], kv[..., 1, :]
+        if self.apply_style == "concat":
+            feat = jnp.concatenate(
+                [edge_feat, jnp.broadcast_to(h[:, :, None, :], (B, N, K, H)),
+                 gather_nodes(h, nbr_idx)], axis=-1)
+            k = _apply_mlp_params(p_k, feat, act)
+            v = _apply_mlp_params(p_v, feat, act)
+        else:
+            edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k,
+                                                         p_v, fe, H)
+            pre = (edge_pre + node_i[:, :, None, :]
+                   + gather_nodes(node_j, nbr_idx))           # [B,N,K,2H]
+            x = _ln_act_blocks(pre.reshape(B, N, K, 2, self.hidden_dim),
+                               (p_k[2], p_v[2]), act)
+            k1 = jnp.stack([p_k[3], p_v[3]])                  # [2, H, H]
+            b1 = jnp.stack([p_k[4], p_v[4]])
+            kv = jnp.einsum("bnkph,pho->bnkpo", x, k1) + b1   # [B,N,K,2,H]
+            k, v = kv[..., 0, :], kv[..., 1, :]
         if e_w is not None:
             v = v * e_w[..., None]
         q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
@@ -227,6 +252,7 @@ class NodeUpdateDense(nn.Module):
     norm: bool = True
     act_fn: str = "relu"
     out_fc: bool = False
+    apply_style: str = "split"
 
     @nn.compact
     def __call__(self, h, edge_feat, pair_mask, e_w=None):
@@ -241,16 +267,25 @@ class NodeUpdateDense(nn.Module):
                              self.norm, name="hk")()
         p_v = _EdgeMLPParams(in_dim, self.hidden_dim, self.hidden_dim,
                              self.norm, name="hv")()
-        edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k, p_v,
-                                                     fe, H)
-        # h_i = destination (axis 2), h_j = source (axis 1)
-        pre = (edge_pre + node_i[:, None, :, :] + node_j[:, :, None, :])
-        x = _ln_act_blocks(pre.reshape(B, N, N, 2, self.hidden_dim),
-                           (p_k[2], p_v[2]), act)
-        k1 = jnp.stack([p_k[3], p_v[3]])
-        b1 = jnp.stack([p_k[4], p_v[4]])
-        kv = jnp.einsum("bsdph,pho->bsdpo", x, k1) + b1
-        k, v = kv[..., 0, :], kv[..., 1, :]
+        if self.apply_style == "concat":
+            # h_i = destination (axis 2), h_j = source (axis 1)
+            feat = jnp.concatenate(
+                [edge_feat,
+                 jnp.broadcast_to(h[:, None, :, :], (B, N, N, H)),
+                 jnp.broadcast_to(h[:, :, None, :], (B, N, N, H))], axis=-1)
+            k = _apply_mlp_params(p_k, feat, act)
+            v = _apply_mlp_params(p_v, feat, act)
+        else:
+            edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k,
+                                                         p_v, fe, H)
+            # h_i = destination (axis 2), h_j = source (axis 1)
+            pre = (edge_pre + node_i[:, None, :, :] + node_j[:, :, None, :])
+            x = _ln_act_blocks(pre.reshape(B, N, N, 2, self.hidden_dim),
+                               (p_k[2], p_v[2]), act)
+            k1 = jnp.stack([p_k[3], p_v[3]])
+            b1 = jnp.stack([p_k[4], p_v[4]])
+            kv = jnp.einsum("bsdph,pho->bsdpo", x, k1) + b1
+            k, v = kv[..., 0, :], kv[..., 1, :]
         if e_w is not None:
             v = v * e_w[..., None]
         q = MLP(self.hidden_dim, self.hidden_dim, norm=self.norm,
@@ -280,6 +315,7 @@ class PosUpdateKNN(nn.Module):
     n_heads: int
     norm: bool = True
     act_fn: str = "relu"
+    apply_style: str = "split"
 
     @nn.compact
     def __call__(self, h, rel_x, edge_feat, nbr_idx, nbr_mask, e_w=None):
@@ -295,14 +331,21 @@ class PosUpdateKNN(nn.Module):
                              self.norm, name="xk")()
         p_v = _EdgeMLPParams(in_dim, self.hidden_dim, self.n_heads,
                              self.norm, name="xv")()
-        edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k, p_v,
-                                                     fe, H)
-        pre = (edge_pre + node_i[:, :, None, :]
-               + gather_nodes(node_j, nbr_idx))
-        x = _ln_act_blocks(pre.reshape(B, N, K, 2, self.hidden_dim),
-                           (p_k[2], p_v[2]), act)
-        k = x[..., 0, :] @ p_k[3] + p_k[4]                    # [B,N,K,H]
-        v = x[..., 1, :] @ p_v[3] + p_v[4]                    # [B,N,K,heads]
+        if self.apply_style == "concat":
+            feat = jnp.concatenate(
+                [edge_feat, jnp.broadcast_to(h[:, :, None, :], (B, N, K, H)),
+                 gather_nodes(h, nbr_idx)], axis=-1)
+            k = _apply_mlp_params(p_k, feat, act)             # [B,N,K,H]
+            v = _apply_mlp_params(p_v, feat, act)             # [B,N,K,heads]
+        else:
+            edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k,
+                                                         p_v, fe, H)
+            pre = (edge_pre + node_i[:, :, None, :]
+                   + gather_nodes(node_j, nbr_idx))
+            x = _ln_act_blocks(pre.reshape(B, N, K, 2, self.hidden_dim),
+                               (p_k[2], p_v[2]), act)
+            k = x[..., 0, :] @ p_k[3] + p_k[4]                # [B,N,K,H]
+            v = x[..., 1, :] @ p_v[3] + p_v[4]                # [B,N,K,heads]
         if e_w is not None:
             v = v * e_w[..., None]
         v = v[..., None] * rel_x[:, :, :, None, :]            # [B,N,K,heads,3]
@@ -323,6 +366,7 @@ class PosUpdateDense(nn.Module):
     n_heads: int
     norm: bool = True
     act_fn: str = "relu"
+    apply_style: str = "split"
 
     @nn.compact
     def __call__(self, h, rel_x, edge_feat, pair_mask, e_w=None):
@@ -337,13 +381,21 @@ class PosUpdateDense(nn.Module):
                              self.norm, name="xk")()
         p_v = _EdgeMLPParams(in_dim, self.hidden_dim, self.n_heads,
                              self.norm, name="xv")()
-        edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k, p_v,
-                                                     fe, H)
-        pre = (edge_pre + node_i[:, None, :, :] + node_j[:, :, None, :])
-        x = _ln_act_blocks(pre.reshape(B, N, N, 2, self.hidden_dim),
-                           (p_k[2], p_v[2]), act)
-        k = x[..., 0, :] @ p_k[3] + p_k[4]
-        v = x[..., 1, :] @ p_v[3] + p_v[4]                    # [B,N,N,heads]
+        if self.apply_style == "concat":
+            feat = jnp.concatenate(
+                [edge_feat,
+                 jnp.broadcast_to(h[:, None, :, :], (B, N, N, H)),
+                 jnp.broadcast_to(h[:, :, None, :], (B, N, N, H))], axis=-1)
+            k = _apply_mlp_params(p_k, feat, act)
+            v = _apply_mlp_params(p_v, feat, act)             # [B,N,N,heads]
+        else:
+            edge_pre, node_i, node_j = _pair_first_layer(edge_feat, h, p_k,
+                                                         p_v, fe, H)
+            pre = (edge_pre + node_i[:, None, :, :] + node_j[:, :, None, :])
+            x = _ln_act_blocks(pre.reshape(B, N, N, 2, self.hidden_dim),
+                               (p_k[2], p_v[2]), act)
+            k = x[..., 0, :] @ p_k[3] + p_k[4]
+            v = x[..., 1, :] @ p_v[3] + p_v[4]                # [B,N,N,heads]
         if e_w is not None:
             v = v * e_w[..., None]
         v = v[..., None] * rel_x[:, :, :, None, :]            # [B,N,N,heads,3]
@@ -397,6 +449,7 @@ class BondUpdateTriplet(nn.Module):
     mode: str = "factorized"
     width: int = 32
     use_pallas: bool = False
+    apply_style: str = "split"
     knn_k: int = 0  # >0: restrict k to the K nearest neighbours of j
     # kNN path only: run the triplet pool in the compute dtype instead of
     # pinned f32 (softmax stays f32). No effect at compute_dtype=float32;
@@ -526,14 +579,21 @@ class BondUpdateTriplet(nn.Module):
         rf_dim = r_feat.shape[-1]
         in_kj = H + rf_dim + (2 * H if self.include_h_node else 0)
         k_kj, b_kj = _RawDense(in_kj, Wt, name="tf_kj")()
-        a_kj = (h_bond @ k_kj[:H]
-                + r_feat @ k_kj[H:H + rf_dim] + b_kj)          # [B,k,j,Wt]
-        if self.include_h_node:
-            wn = jnp.concatenate([k_kj[H + rf_dim:H + rf_dim + H],
-                                  k_kj[H + rf_dim + H:]], axis=1)
-            nproj = h @ wn                                     # [B,N,2Wt]
-            a_kj = (a_kj + nproj[..., :Wt][:, :, None, :]      # h[src=k]
-                    + nproj[..., Wt:][:, None, :, :])          # h[dst=j]
+        if self.apply_style == "concat":
+            parts = [h_bond, r_feat]
+            if self.include_h_node:
+                parts += [jnp.broadcast_to(h[:, :, None, :], (B, N, N, H)),
+                          jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))]
+            a_kj = jnp.concatenate(parts, axis=-1) @ k_kj + b_kj
+        else:
+            a_kj = (h_bond @ k_kj[:H]
+                    + r_feat @ k_kj[H:H + rf_dim] + b_kj)      # [B,k,j,Wt]
+            if self.include_h_node:
+                wn = jnp.concatenate([k_kj[H + rf_dim:H + rf_dim + H],
+                                      k_kj[H + rf_dim + H:]], axis=1)
+                nproj = h @ wn                                 # [B,N,2Wt]
+                a_kj = (a_kj + nproj[..., :Wt][:, :, None, :]  # h[src=k]
+                        + nproj[..., Wt:][:, None, :, :])      # h[dst=j]
         a_ji = nn.Dense(Wt, use_bias=False, name="tf_ji")(r_feat)
         # raw params (shared by XLA and Pallas paths)
         w_ang = self.param("tf_ang_w", nn.initializers.lecun_normal(),
@@ -547,11 +607,19 @@ class BondUpdateTriplet(nn.Module):
         in_q = H + (H if self.include_h_node else 0)
         pq = _EdgeMLPParams(in_q, self.hidden_dim, heads * Wt, self.norm,
                             name="tf_q")()
-        q_pre = h_bond @ pq[0][:H] + pq[1]
-        if self.include_h_node:
-            q_pre = q_pre + (h @ pq[0][H:])[:, None, :, :]     # h[dst=i]
-        q = _ln_act_blocks(q_pre[..., None, :], (pq[2],), act_q)[..., 0, :]
-        q = q @ pq[3] + pq[4]                                  # [B,j,i,h*Wt]
+        if self.apply_style == "concat":
+            q_in = h_bond
+            if self.include_h_node:
+                q_in = jnp.concatenate(
+                    [h_bond,
+                     jnp.broadcast_to(h[:, None, :, :], (B, N, N, H))], -1)
+            q = _apply_mlp_params(pq, q_in, act_q)             # [B,j,i,h*Wt]
+        else:
+            q_pre = h_bond @ pq[0][:H] + pq[1]
+            if self.include_h_node:
+                q_pre = q_pre + (h @ pq[0][H:])[:, None, :, :]  # h[dst=i]
+            q = _ln_act_blocks(q_pre[..., None, :], (pq[2],), act_q)[..., 0, :]
+            q = q @ pq[3] + pq[4]                              # [B,j,i,h*Wt]
         q = q.reshape(B, N, N, heads, Wt)
 
         # the exact-grid triplet pool always runs f32: its numerics are tuned

@@ -253,3 +253,77 @@ def test_gradients_match():
     for a, b in zip(flat_f, flat_g):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# `apply_style="concat"` — the whole-MLP application style is selectable at
+# trace time (config `denoiser.edge_mlp_apply`) with the identical parameter
+# tree; both styles must agree on every module and through a full denoiser
+# forward (which also covers the BondUpdateTriplet tf_kj/tf_q sites).
+# ---------------------------------------------------------------------------
+
+def _check_styles(cls, args, kw=(), **mod_kw):
+    split = cls(hidden_dim=H, n_heads=HEADS, apply_style="split", **mod_kw)
+    concat = cls(hidden_dim=H, n_heads=HEADS, apply_style="concat", **mod_kw)
+    kw = dict(kw)
+    params = split.init(jax.random.PRNGKey(0), *args, **kw)
+    out_s = split.apply(params, *args, **kw)
+    out_c = concat.apply(params, *args, **kw)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_c),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_apply_style_node_knn():
+    h, ef, idx, mask, e_w, _ = _knn_inputs(11)
+    _check_styles(NodeUpdateKNN, (h, ef, idx, mask), dict(e_w=e_w))
+
+
+def test_apply_style_node_dense():
+    h, ef, pm, e_w, _ = _dense_inputs(11)
+    _check_styles(NodeUpdateDense, (h, ef, pm), dict(e_w=e_w))
+
+
+def test_apply_style_pos_knn():
+    h, ef, idx, mask, e_w, rel_x = _knn_inputs(12)
+    _check_styles(PosUpdateKNN, (h, rel_x, ef, idx, mask), dict(e_w=e_w))
+
+
+def test_apply_style_pos_dense():
+    h, ef, pm, e_w, rel_x = _dense_inputs(12)
+    _check_styles(PosUpdateDense, (h, rel_x, ef, pm), dict(e_w=e_w))
+
+
+def test_apply_style_denoiser_forward():
+    """End-to-end: a UniDenoiser forward (covers the triplet tf_kj/tf_q
+    split sites, both with and without the kNN source restriction)."""
+    from phoregen_tpu.models.denoiser import UniDenoiser
+
+    rng = np.random.default_rng(21)
+    B2, NP, NL = 2, 3, 6
+    N2 = NP + NL
+    h = jnp.asarray(rng.normal(size=(B2, N2, H)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B2, N2, 3)), jnp.float32)
+    h_bond = jnp.asarray(rng.normal(size=(B2, NL, NL, H)), jnp.float32)
+    node_mask = jnp.asarray(rng.random((B2, N2)) > 0.1)
+    node_mask = node_mask.at[:, 0].set(True)
+    norm_v = rng.normal(size=(B2, NP, 3))
+    norm_v /= np.linalg.norm(norm_v, axis=-1, keepdims=True)
+    phore_norm = jnp.asarray(norm_v, jnp.float32)
+
+    for knn_k in (0, 3):
+        mods = {}
+        for style in ("split", "concat"):
+            mods[style] = UniDenoiser(
+                num_blocks=1, num_layers=2, hidden_dim=H, n_heads=HEADS,
+                knn=4, edge_feat_dim=4, num_r_gaussian=20,
+                scan_layers=False, remat_layers=False, triplet_knn=knn_k,
+                edge_mlp_apply=style)
+        args = (h, x, h_bond, node_mask)
+        kw = dict(phore_norm=phore_norm, num_phore=NP)
+        params = mods["split"].init(jax.random.PRNGKey(2), *args, **kw)
+        out_s = mods["split"].apply(params, *args, **kw)
+        out_c = mods["concat"].apply(params, *args, **kw)
+        for key in ("h", "h_bond", "x"):
+            np.testing.assert_allclose(
+                np.asarray(out_s[key]), np.asarray(out_c[key]),
+                rtol=5e-5, atol=5e-5, err_msg=f"{key} knn_k={knn_k}")
