@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--knn", type=int, default=8)
     ap.add_argument("--scan_layers", action="store_true")
+    ap.add_argument("--apply", default="split", choices=["split", "concat"])
+    ap.add_argument("--fused", default="none",
+                    choices=["none", "xla", "pallas"])
     ap.add_argument("--top", type=int, default=12)
     args = ap.parse_args()
 
@@ -60,6 +63,8 @@ def main():
     cfg.dataset.max_phore = 32
     cfg.model.denoiser.triplet_knn = args.knn
     cfg.model.denoiser.scan_layers = args.scan_layers
+    cfg.model.denoiser.edge_mlp_apply = args.apply
+    cfg.model.denoiser.fused_stack = args.fused
     pg = PhoreGen(cfg)
 
     samples = synthetic_dataset(0, args.batch, max_atoms=min(30, args.bucket))
@@ -88,7 +93,8 @@ def main():
     total_ops = sum(counts.values())
     total_mb = sum(sizes.values()) / 1e6
     print(f"shapes: B={args.batch} NL={args.bucket} NP=32 knn={args.knn} "
-          f"scan_layers={args.scan_layers}")
+          f"scan_layers={args.scan_layers} apply={args.apply} "
+          f"fused={args.fused}")
     print(f"jaxpr: TOTAL ops={total_ops}  staged-output={total_mb:.1f} MB")
     for name, n in counts.most_common(args.top):
         print(f"  {name:<22} x{n:<5} {sizes[name] / 1e6:9.1f} MB")
