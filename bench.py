@@ -70,7 +70,14 @@ def main():
     params = pg.init_params(key, batch)
 
     sampler = Sampler(pg)
-    run = jax.jit(lambda p, k, b: sampler.sample(p, k, b))
+    # BENCH_CHUNK > 0 splits the reverse scan into device calls of that many
+    # steps (bit-identical math/PRNG, sample_chunked) — needed for configs
+    # whose single-execution wall time exceeds the sandbox relay's ~1 min cap
+    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
+    if chunk > 0:
+        run = lambda p, k, b: sampler.sample_chunked(p, k, b, chunk)
+    else:
+        run = jax.jit(lambda p, k, b: sampler.sample(p, k, b))
 
     # compile + warmup
     out = run(params, key, batch)
