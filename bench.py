@@ -57,8 +57,12 @@ def main():
     # whole-layer-stack fused execution (ops/layer_stack.py)
     cfg.model.denoiser.fused_stack = os.environ.get("BENCH_FUSED", "none")
     # trace-time MLP application style (split = fewer FLOPs, concat = fewer
-    # compiled ops; identical params/algebra — models/layers.py)
-    cfg.model.denoiser.edge_mlp_apply = os.environ.get("BENCH_APPLY", "split")
+    # compiled ops; identical params/algebra — models/layers.py). The bench
+    # defaults to 'concat': the round-2 1.068 mol/s measurement used the
+    # concat trace, and the round-3 split-module refactor measured 0.802 on
+    # the same runtime (BASELINE.md round 3) — split stays the *training*
+    # default where its FLOP/byte savings win (38 -> 51 graphs/s).
+    cfg.model.denoiser.edge_mlp_apply = os.environ.get("BENCH_APPLY", "concat")
     batch_size = int(os.environ.get("BENCH_BATCH", "16"))
 
     pg = PhoreGen(cfg)
