@@ -168,8 +168,14 @@ def _build_reference_state(params, cfg):
     if "edge_pred_layer" in den:
         _ref_mlp(dst, "denoiser.edge_pred_layer", den["edge_pred_layer"],
                  None)
-    # buffers the importer must skip
-    dst["denoiser.distance_expansion.offset"] = np.linspace(0, 10, 20)
+    # buffer the importer must skip. Value matters for the golden replay
+    # (torch load_state_dict OVERWRITES the module's buffer): the reference
+    # builds this RBF with fix_offset=True (`GaussianSmearing(0., r_max,
+    # num_gaussians=...)`, reference `models/uni_denoiser.py:323` +
+    # `models/common.py:11-24`), i.e. the fixed non-uniform 20-point grid.
+    from phoregen_tpu.ops.rbf import FIXED_RBF_OFFSETS
+    dst["denoiser.distance_expansion.offset"] = np.asarray(
+        FIXED_RBF_OFFSETS, np.float64)
     return dst
 
 
