@@ -1,0 +1,53 @@
+"""EDM distance-bond parity vs the reference's own `predict_bonds`.
+
+Random clouds at bonding-scale distances over the element set the reference
+can actually map (its `periodic_table` dict has colliding keys 6:'B'/6:'C'
+and 16:'Si'/16:'S', so Si (14) raises KeyError there and 16 is always 'S' —
+our version fixes the collision, which is exactly why Si is excluded from
+the comparison; reference `utils/predict_bonds.py:155-171`).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = os.environ.get("PHOREGEN_REFERENCE_PATH", "/root/reference")
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(os.path.join(REFERENCE, "utils")):
+    pytest.skip(f"reference checkout not found at {REFERENCE}",
+                allow_module_level=True)
+
+import pyg_shims
+
+pyg_shims.install()
+sys.path.insert(0, REFERENCE)
+
+ELEMENTS = [6, 7, 8, 9, 15, 16, 17, 35, 53]   # no Si — see module docstring
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_predict_bonds_parity(seed):
+    from utils.predict_bonds import predict_bonds as ref_predict
+
+    from phoregen_tpu.sample.predict_bonds import \
+        predict_bonds as our_predict
+
+    rng = np.random.default_rng(seed)
+    n = 12
+    elements = rng.choice(ELEMENTS, size=n).tolist()
+    # positions spread so pair distances straddle the 1-2 A bond windows
+    pos = (rng.normal(size=(n, 3)) * 1.6).astype(np.float64)
+
+    ref_index, ref_type = ref_predict(elements, pos)
+    our_index, our_type = our_predict(elements, pos)
+
+    def canon(index, types):
+        if not types:
+            return set()
+        src, dst = index
+        return {(int(s), int(d), int(t))
+                for s, d, t in zip(src, dst, types)}
+
+    assert canon(ref_index, ref_type) == canon(our_index, our_type)
