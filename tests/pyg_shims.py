@@ -208,7 +208,11 @@ def install():
     nn_mod = _mod("torch_geometric.nn", knn_graph=knn_graph,
                   radius_graph=_unused, radius=_unused, knn=_unused)
     utils_mod = _mod("torch_geometric.utils",
-                     remove_self_loops=remove_self_loops)
+                     remove_self_loops=remove_self_loops,
+                     k_hop_subgraph=_unused, subgraph=_unused,
+                     to_undirected=_unused, coalesce=_unused,
+                     to_dense_adj=_unused, dense_to_sparse=_unused,
+                     add_self_loops=_unused, sort_edge_index=_unused)
 
     class _NotExercised:
         def __init__(self, *a, **k):
@@ -216,7 +220,21 @@ def install():
 
     data_mod = _mod("torch_geometric.data", Batch=_NotExercised,
                     Data=_NotExercised, Dataset=object, HeteroData=object)
+
+    class Compose:
+        def __init__(self, transforms):
+            self.transforms = list(transforms)
+
+        def __call__(self, data):
+            for t in self.transforms:
+                data = t(data)
+            return data
+
+    tf_mod = _mod("torch_geometric.transforms", Compose=Compose)
+    loader_mod = _mod("torch_geometric.loader", DataLoader=_NotExercised,
+                      DataListLoader=_NotExercised)
     tg.nn, tg.utils, tg.data = nn_mod, utils_mod, data_mod
+    tg.transforms, tg.loader = tf_mod, loader_mod
 
     # easydict (reference configs are EasyDicts)
     class EasyDict(dict):
@@ -239,6 +257,12 @@ def install():
                 return self[k]
             except KeyError as e:
                 raise AttributeError(k) from e
+
+    # misc import-only deps of the reference's dataset modules
+    if "lmdb" not in sys.modules:
+        _mod("lmdb", open=_unused, Environment=_NotExercised)
+    if "tensorboardX" not in sys.modules:
+        _mod("tensorboardX", SummaryWriter=_NotExercised)
 
     if "easydict" not in sys.modules:
         _mod("easydict", EasyDict=EasyDict)
@@ -263,9 +287,11 @@ def install():
             return ch[k]
 
         def __call__(self, *a, **kw):
-            raise NotImplementedError(
-                f"{object.__getattribute__(self, '_name')} "
-                "(import-only toolkit shim)")
+            # module-level constant-building calls (e.g.
+            # Chem.GetPeriodicTable()) succeed and yield another sentinel;
+            # replayed code paths never consume toolkit VALUES, and if one
+            # ever did, the numeric comparison downstream fails loudly
+            return getattr(self, "call_result")
 
     def _sentinel_module(name):
         m = types.ModuleType(name)
