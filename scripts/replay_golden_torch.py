@@ -93,8 +93,7 @@ def main():
     args = ap.parse_args()
 
     import pyg_shims
-    EasyDict = pyg_shims.install()
-    sys.path.insert(0, args.reference)
+    EasyDict = pyg_shims.install(args.reference)
     import torch
 
     torch.manual_seed(0)

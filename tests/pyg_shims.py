@@ -15,12 +15,16 @@ Faithful to the semantics the reference actually exercises:
   row-count sum) — reference `models/uni_denoiser.py:101-121`.
 - `torch_geometric.utils.remove_self_loops`.
 
-`install()` inserts these (plus import-only rdkit/openbabel stand-ins for
-`utils/sample_utils.py`'s module-level imports, and `easydict`) into
-sys.modules. Test harness only — not part of the framework.
+`install(reference_path)` inserts these into sys.modules, PRELOADS the
+reference modules the parity tests use, then REMOVES the import-only
+rdkit/openbabel/lmdb/tensorboardX stand-ins again: the preloaded reference
+modules keep their references, while the rest of the test session (e.g.
+the pipeline tests' real HAVE_RDKIT detection) sees a clean sys.modules.
+Test harness only — not part of the framework.
 """
 from __future__ import annotations
 
+import os
 import sys
 import types
 
@@ -198,8 +202,19 @@ def _mod(name, **attrs):
     return m
 
 
-def install():
-    """Install all shims. Returns nothing; idempotent."""
+# reference modules preloaded inside the toolkit-fake window; everything a
+# parity test imports lazily must be (a dependency of) one of these
+_REFERENCE_PRELOAD = (
+    "models.diffusion",        # pulls common/transition/uni_denoiser/
+                               # sample_utils/predict_bonds
+    "utils.training_utils",    # pulls datasets.transform/phoregen
+    "datasets.get_phore_data",
+    "models.model_utils",      # EMA + writers (rdkit import at module level)
+)
+
+
+def install(reference_path="/root/reference"):
+    """Install shims + preload the reference. Returns EasyDict; idempotent."""
     ts = _mod("torch_scatter", scatter=scatter, scatter_sum=scatter_sum,
               scatter_mean=scatter_mean, scatter_softmax=scatter_softmax)
     _mod("torch_sparse", SparseTensor=SparseTensor)
@@ -259,10 +274,13 @@ def install():
                 raise AttributeError(k) from e
 
     # misc import-only deps of the reference's dataset modules
+    fresh_misc = []
     if "lmdb" not in sys.modules:
         _mod("lmdb", open=_unused, Environment=_NotExercised)
+        fresh_misc.append("lmdb")
     if "tensorboardX" not in sys.modules:
         _mod("tensorboardX", SummaryWriter=_NotExercised)
+        fresh_misc.append("tensorboardX")
 
     if "easydict" not in sys.modules:
         _mod("easydict", EasyDict=EasyDict)
@@ -300,7 +318,8 @@ def install():
         sys.modules[name] = m
         return m
 
-    if "rdkit" not in sys.modules:
+    fresh_rdkit = "rdkit" not in sys.modules
+    if fresh_rdkit:
         rdkit = _mod("rdkit")
         rdkit.Chem = _sentinel_module("rdkit.Chem")
         sys.modules["rdkit.Chem"].AllChem = _sentinel_module(
@@ -309,7 +328,31 @@ def install():
         rdkit.Geometry = _sentinel_module("rdkit.Geometry")
         rdkit.RDLogger = _sentinel_module("rdkit.RDLogger")
         sys.modules["rdkit.RDLogger"] = rdkit.RDLogger
+    installed_toolkits = []
     if "openbabel" not in sys.modules:
         ob_pkg = _mod("openbabel")
         ob_pkg.openbabel = _sentinel_module("openbabel.openbabel")
+        installed_toolkits += ["openbabel", "openbabel.openbabel"]
+    if fresh_rdkit:
+        installed_toolkits += ["rdkit", "rdkit.Chem", "rdkit.Chem.AllChem",
+                               "rdkit.RDLogger", "rdkit.Geometry"]
+    if fresh_misc:
+        installed_toolkits += fresh_misc
+
+    # preload the reference inside the fake-toolkit window, then purge the
+    # fakes so the rest of the process sees a clean sys.modules
+    import importlib
+    if reference_path and os.path.isdir(os.path.join(reference_path,
+                                                     "models")):
+        if reference_path not in sys.path:
+            sys.path.insert(0, reference_path)
+        try:
+            for name in _REFERENCE_PRELOAD:
+                importlib.import_module(name)
+        finally:
+            for name in installed_toolkits:
+                sys.modules.pop(name, None)
+    else:
+        for name in installed_toolkits:
+            sys.modules.pop(name, None)
     return EasyDict

@@ -21,8 +21,7 @@ if not os.path.isdir(os.path.join(REFERENCE, "utils")):
 
 import pyg_shims
 
-pyg_shims.install()
-sys.path.insert(0, REFERENCE)
+pyg_shims.install(REFERENCE)
 
 ELEMENTS = [6, 7, 8, 9, 15, 16, 17, 35, 53]   # no Si — see module docstring
 

@@ -24,8 +24,7 @@ if not os.path.isdir(os.path.join(REFERENCE, "datasets")):
 
 import pyg_shims
 
-pyg_shims.install()
-sys.path.insert(0, REFERENCE)
+pyg_shims.install(REFERENCE)
 
 PHORES = sorted(glob.glob(os.path.join(REPO, "data", "phores_for_sampling",
                                        "*.phore")))

@@ -22,8 +22,7 @@ if not os.path.isdir(os.path.join(REFERENCE, "utils")):
 
 import pyg_shims
 
-pyg_shims.install()
-sys.path.insert(0, REFERENCE)
+pyg_shims.install(REFERENCE)
 
 import jax
 

@@ -29,8 +29,7 @@ if not os.path.isdir(os.path.join(REFERENCE, "models")):
 
 import pyg_shims
 
-ED = pyg_shims.install()
-sys.path.insert(0, REFERENCE)
+ED = pyg_shims.install(REFERENCE)
 
 
 def _load_replay():

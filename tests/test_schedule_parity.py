@@ -20,8 +20,7 @@ if not os.path.isdir(os.path.join(REFERENCE, "models")):
 
 import pyg_shims
 
-pyg_shims.install()
-sys.path.insert(0, REFERENCE)
+pyg_shims.install(REFERENCE)
 
 
 CASES = [
