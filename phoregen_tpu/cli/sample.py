@@ -169,6 +169,17 @@ def main(argv=None):
     else:
         cfg = config_from_dict(meta["config"])
     if args.triplet_knn >= 0:
+        trained_knn = int(meta["config"]["model"]["denoiser"]
+                          .get("triplet_knn", 0))
+        if args.triplet_knn != trained_knn:
+            # measured on the round-3 80k flagship: sampling at knn16 under
+            # knn32-trained weights collapses acceptance 42% -> 0/304
+            # (BASELINE.md "knn-match finding") — widening (or exact 0) is
+            # safe, narrowing below the trained K is not
+            print(f"[W] sampling triplet_knn={args.triplet_knn} != trained "
+                  f"triplet_knn={trained_knn}: quality can collapse when "
+                  f"narrowing below the trained K (BASELINE.md round 3); "
+                  f"0 (exact) or K >= trained is safe")
         cfg.model.denoiser.triplet_knn = args.triplet_knn
     if args.fused_stack:
         cfg.model.denoiser.fused_stack = args.fused_stack
