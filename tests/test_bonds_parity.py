@@ -7,7 +7,6 @@ our version fixes the collision, which is exactly why Si is excluded from
 the comparison; reference `utils/predict_bonds.py:155-171`).
 """
 import os
-import sys
 
 import numpy as np
 import pytest

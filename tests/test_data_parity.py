@@ -8,7 +8,6 @@ the phore-center-of-mass shift against our `parse_phore_file` +
 """
 import glob
 import os
-import sys
 import types
 
 import numpy as np

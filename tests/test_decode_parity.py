@@ -6,7 +6,6 @@ padded `decode_batch` must produce identical molecules: elements,
 positions, and the directed bond set after mask-atom dropping.
 """
 import os
-import sys
 
 import numpy as np
 import pytest

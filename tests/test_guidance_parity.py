@@ -7,7 +7,6 @@ vs flat inputs. The energies drive the gradient guidance in the reverse
 loop (reference `models/diffusion.py:476-502`).
 """
 import os
-import sys
 
 import numpy as np
 import pytest

@@ -8,7 +8,6 @@ other ligand atoms plus their k nearest phore points; phore destinations
 get their k nearest neighbours among all nodes.
 """
 import os
-import sys
 
 import numpy as np
 import pytest

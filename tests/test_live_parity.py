@@ -12,9 +12,7 @@ Reference anchors: `models/diffusion.py:175-246` (forward),
 `models/uni_denoiser.py:212-298` (attention layer wiring).
 """
 import importlib.util
-import json
 import os
-import sys
 
 import numpy as np
 import pytest

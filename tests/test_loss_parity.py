@@ -8,7 +8,6 @@ on CPU torch (PyG shims) against this framework's implementations on
 identical inputs.
 """
 import os
-import sys
 
 import numpy as np
 import pytest

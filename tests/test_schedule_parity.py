@@ -6,7 +6,6 @@ asynchronous pos/atom vs bond noising, compared bit-for-bit (same float64
 math) against `phoregen_tpu/ops/schedules.py`.
 """
 import os
-import sys
 
 import numpy as np
 import pytest

@@ -8,7 +8,6 @@ contents must coincide step for step. EMA update compared directly
 (models/model_utils.py:21-42).
 """
 import os
-import sys
 
 import numpy as np
 import pytest
