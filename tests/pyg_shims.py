@@ -213,28 +213,48 @@ _REFERENCE_PRELOAD = (
 )
 
 
-def install(reference_path="/root/reference"):
-    """Install shims + preload the reference. Returns EasyDict; idempotent."""
-    ts = _mod("torch_scatter", scatter=scatter, scatter_sum=scatter_sum,
-              scatter_mean=scatter_mean, scatter_softmax=scatter_softmax)
-    _mod("torch_sparse", SparseTensor=SparseTensor)
+def _have_real(name):
+    import importlib.util
+    try:
+        return importlib.util.find_spec(name) is not None
+    except (ImportError, ValueError):
+        return False
 
-    tg = _mod("torch_geometric")
+
+def install(reference_path="/root/reference"):
+    """Install shims + preload the reference. Returns EasyDict; idempotent.
+
+    If the REAL compiled packages are installed (a full PyG environment),
+    they are left alone — the reference then runs on its native stack and
+    the parity comparison is even stronger."""
+    if not _have_real("torch_scatter"):
+        _mod("torch_scatter", scatter=scatter, scatter_sum=scatter_sum,
+             scatter_mean=scatter_mean, scatter_softmax=scatter_softmax)
+    if not _have_real("torch_sparse"):
+        _mod("torch_sparse", SparseTensor=SparseTensor)
+
+    if _have_real("torch_geometric"):
+        tg = None
+    else:
+        tg = _mod("torch_geometric")
     nn_mod = _mod("torch_geometric.nn", knn_graph=knn_graph,
-                  radius_graph=_unused, radius=_unused, knn=_unused)
+                  radius_graph=_unused, radius=_unused,
+                  knn=_unused) if tg is not None else None
     utils_mod = _mod("torch_geometric.utils",
                      remove_self_loops=remove_self_loops,
                      k_hop_subgraph=_unused, subgraph=_unused,
                      to_undirected=_unused, coalesce=_unused,
                      to_dense_adj=_unused, dense_to_sparse=_unused,
-                     add_self_loops=_unused, sort_edge_index=_unused)
+                     add_self_loops=_unused, sort_edge_index=_unused
+                     ) if tg is not None else None
 
     class _NotExercised:
         def __init__(self, *a, **k):
             raise NotImplementedError("pyg shim: not exercised")
 
     data_mod = _mod("torch_geometric.data", Batch=_NotExercised,
-                    Data=_NotExercised, Dataset=object, HeteroData=object)
+                    Data=_NotExercised, Dataset=object, HeteroData=object
+                    ) if tg is not None else None
 
     class Compose:
         def __init__(self, transforms):
@@ -245,11 +265,13 @@ def install(reference_path="/root/reference"):
                 data = t(data)
             return data
 
-    tf_mod = _mod("torch_geometric.transforms", Compose=Compose)
-    loader_mod = _mod("torch_geometric.loader", DataLoader=_NotExercised,
-                      DataListLoader=_NotExercised)
-    tg.nn, tg.utils, tg.data = nn_mod, utils_mod, data_mod
-    tg.transforms, tg.loader = tf_mod, loader_mod
+    if tg is not None:
+        tf_mod = _mod("torch_geometric.transforms", Compose=Compose)
+        loader_mod = _mod("torch_geometric.loader",
+                          DataLoader=_NotExercised,
+                          DataListLoader=_NotExercised)
+        tg.nn, tg.utils, tg.data = nn_mod, utils_mod, data_mod
+        tg.transforms, tg.loader = tf_mod, loader_mod
 
     # easydict (reference configs are EasyDicts)
     class EasyDict(dict):
