@@ -167,3 +167,15 @@ def test_parity_minimal_wiring():
 def test_parity_concat_apply_style():
     """The concat application style (bench default) against the reference."""
     _run_variant(303, **{"denoiser.edge_mlp_apply": "concat"})
+
+
+@pytest.mark.slow
+def test_parity_two_blocks_wider():
+    """num_blocks=2 exercises the per-block kNN rebuild with the SHARED
+    layer stack (reference reuses `base_block` across blocks,
+    `uni_denoiser.py:339-349,419-421`), at a wider head/hidden shape."""
+    _run_variant(404, **{"denoiser.num_blocks": 2,
+                         "denoiser.n_heads": 4,
+                         "hidden_dim": 32,
+                         "denoiser.hidden_dim": 32,
+                         "denoiser.knn": 6})
