@@ -155,4 +155,8 @@ def write_phore_file(phore: Phore, path: str) -> None:
 
 
 def _fmt(x: float) -> str:
-    return f"{x:g}"
+    # the reference emits "%.3f" for every float field
+    # (`utils/phore_utils.py:665`, "{x:.3f}") — byte-identical output
+    # matters for AncPhore interop; parity pinned by
+    # tests/test_phore_writer_parity.py
+    return f"{x:.3f}"
