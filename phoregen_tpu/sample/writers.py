@@ -60,7 +60,8 @@ def write_xyz(elements: Sequence[int], pos: np.ndarray, path: str,
         f.write(f"{len(elements)}\n{comment}\n")
         for z, p in zip(elements, pos):
             sym = ELEMENT_SYMBOLS.get(int(z), "C")
-            f.write(f"{sym} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+            # reference emits %.9f (`models/model_utils.py:297-299`)
+            f.write(f"{sym} {p[0]:.9f} {p[1]:.9f} {p[2]:.9f}\n")
 
 
 def write_smiles(smiles_list: List[str], path: str) -> None:

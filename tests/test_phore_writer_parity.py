@@ -68,3 +68,24 @@ def test_write_roundtrip_parity(path, tmp_path):
         f"{len(ref_lines)} vs {len(our_lines)} lines")
     for i, (a, b) in enumerate(zip(ref_lines, our_lines)):
         assert a == b, f"line {i}:\n ref: {a}\n ours: {b}"
+
+
+def test_xyz_writer_parity(tmp_path):
+    """XYZ text format vs the reference's `write_xyz`
+    (models/model_utils.py:293-299)."""
+    import importlib
+    import numpy as np
+
+    mu = importlib.import_module("models.model_utils")
+    from phoregen_tpu.sample.writers import write_xyz
+
+    rng = np.random.default_rng(41)
+    atomic_numbers = [6, 7, 8, 17]
+    coords = rng.normal(scale=4.0, size=(4, 3)).astype(np.float32)
+    mu.write_xyz(str(tmp_path), atomic_numbers, coords,
+                 sam_idx=0, idx=1, p_idx=2)
+    ref_text = open(tmp_path / "phore2_0_1.xyz").read()
+
+    write_xyz(atomic_numbers, coords, str(tmp_path / "ours.xyz"))
+    our_text = open(tmp_path / "ours.xyz").read()
+    assert ref_text == our_text
