@@ -72,6 +72,7 @@ def write_smiles(smiles_list: List[str], path: str) -> None:
 
 def append_timing(path: str, name: str, n_finished: int, seconds: float
                   ) -> None:
-    """Per-phore timing rows (reference `sample_all.py:176-179`)."""
+    """Per-phore timing rows — the reference appends `str((name,
+    n_finished, seconds))` tuples (reference `sample_all.py:176-179`)."""
     with open(path, "a") as f:
-        f.write(f"{name}\t{n_finished}\t{seconds:.2f}\n")
+        f.write(str((name, n_finished, seconds)) + "\n")
