@@ -62,6 +62,10 @@ def parse_args(argv=None):
                         "whole-layer-stack kernel, ops/layer_stack.py); "
                         "parameter-compatible with any checkpoint of the "
                         "flagship architecture")
+    p.add_argument("--time_budget", type=float, default=0.0,
+                   help="per-phore wall-time budget in seconds (0 = none): "
+                        "abandon after the current batch, keeping accepted "
+                        "molecules")
     p.add_argument("--edge_mlp_apply", default="",
                    choices=["", "split", "concat"],
                    help="override denoiser.edge_mlp_apply at sampling time "
@@ -248,7 +252,8 @@ def run_pipeline(args, cfg, pg, params):
                                 save_pool=args.save_pool,
                                 traj_prob=(args.save_traj_prob
                                            if args.save_traj_prob > 0
-                                           else 1.0))
+                                           else 1.0),
+                                time_budget=args.time_budget)
         n_ok += res["n_finished"]
         n_fail += res["n_failed"]
         print(f"[I] {res['name']}: {res['n_finished']}/{args.num_samples} "

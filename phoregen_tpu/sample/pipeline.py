@@ -221,7 +221,15 @@ class GenerationPipeline:
                  out_dir: Optional[str] = None,
                  fail_budget_factor: int = 3,
                  save_pool: bool = False, traj_stride: int = 10,
-                 traj_prob: float = 1.0) -> Dict:
+                 traj_prob: float = 1.0,
+                 time_budget: float = 0.0) -> Dict:
+        """Sample a pool for one pharmacophore.
+
+        `time_budget` (seconds, 0 = unlimited) complements the reference's
+        3x fail budget (`sample_all.py:79-82`): failure-heavy
+        large-interval phores sample at big-bucket speed, and one such
+        phore can starve a multi-phore run for hours — the budget abandons
+        after the current batch, keeping whatever was accepted."""
         t0 = time.time()
         name = phore.name or "phore"
         # per-molecule trajectory subsampling (reference --save_traj_prob,
@@ -233,7 +241,14 @@ class GenerationPipeline:
         n_failed = 0
         budget = fail_budget_factor * num_samples
         cur_batch = self.batch_size
+        timed_out = False
         while len(mols) < num_samples and n_failed < budget:
+            if time_budget and time.time() - t0 > time_budget:
+                timed_out = True
+                print(f"[W] {name}: per-phore time budget "
+                      f"({time_budget:.0f}s) exhausted with "
+                      f"{len(mols)}/{num_samples} accepted", flush=True)
+                break
             n = min(cur_batch, num_samples - len(mols))
             try:
                 decoded, raw = self.sample_pool(phore_sample, n, lower,
@@ -310,6 +325,7 @@ class GenerationPipeline:
             "n_finished": len(mols), "n_failed": n_failed,
             "count_interval": (lower, upper), "seconds": elapsed,
             "abandoned": len(mols) < num_samples,
+            "timed_out": timed_out,
         }
 
     def generate_from_file(self, phore_path: str, num_samples: int,

@@ -73,6 +73,10 @@ def main():
                     choices=["", "none", "xla", "pallas"],
                     help="denoiser.fused_stack override for the sampling "
                          "pipeline (whole-layer-stack kernel)")
+    ap.add_argument("--time_budget", type=float, default=0.0,
+                    help="per-phore wall-time budget in seconds (0 = none);"
+                         " abandons after the current batch, keeping the"
+                         " accepted molecules (rows record timed_out)")
     ap.add_argument("--fail_budget_factor", type=int, default=3,
                     help="abandon a phore after factor*num_samples failed "
                          "attempts (reference fail-budget semantics)")
@@ -208,7 +212,8 @@ def main():
             print(f"[quality_eval] skip {phore.name}", flush=True)
             continue
         res = pipe.generate(phore, args.num_samples,
-                            fail_budget_factor=args.fail_budget_factor)
+                            fail_budget_factor=args.fail_budget_factor,
+                            time_budget=args.time_budget)
         mols = res["mols"]
         attempted = res["n_finished"] + res["n_failed"]
         lo, up = res["count_interval"]
@@ -232,6 +237,7 @@ def main():
             "mean_atoms": round(float(np.mean(n_atoms)), 1) if n_atoms else 0,
             "seconds": round(res["seconds"], 1),
             "abandoned": res["abandoned"],
+            "timed_out": res.get("timed_out", False),
         }
         per_phore.append(row)
         print(json.dumps(row), flush=True)

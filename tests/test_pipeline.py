@@ -268,3 +268,20 @@ def test_parallel_reconstruction_matches_serial(pipeline):
     for (ok_p, pl_p), (ok_s, pl_s) in zip(par, serial):
         if ok_p:
             assert pl_p[1] == pl_s[1]  # same smiles
+
+
+def test_time_budget_abandons(pipeline):
+    """A tiny per-phore wall-time budget abandons promptly (timed_out set),
+    complementing the reference's fail budget for failure-heavy phores."""
+    phore = parse_phore_text(PHORE_TEXT, name="pipe_phore_tb")
+    res = pipeline.generate(phore, num_samples=50, fail_budget_factor=100,
+                            time_budget=1e-6)
+    assert res["timed_out"]
+    assert res["abandoned"]
+    assert res["n_finished"] == 0
+
+
+def test_no_time_budget_by_default(pipeline):
+    phore = parse_phore_text(PHORE_TEXT, name="pipe_phore_ntb")
+    res = pipeline.generate(phore, num_samples=1, fail_budget_factor=1)
+    assert res["timed_out"] is False
