@@ -28,18 +28,26 @@ ROW_KEYS = {"phore", "attempted", "accepted", "validity_pct"}
 
 
 def rows_from_file(path):
+    """Accepts a JSONL row stream, a run log with rows interleaved, or a
+    previously-merged aggregate artifact (rows under `per_phore`)."""
+    text = open(path).read()
+    try:
+        obj = json.loads(text)
+        if isinstance(obj, dict) and "per_phore" in obj:
+            return [r for r in obj["per_phore"] if ROW_KEYS.issubset(r)]
+    except json.JSONDecodeError:
+        pass
     rows = []
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not (line.startswith("{") and line.endswith("}")):
-                continue
-            try:
-                obj = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if ROW_KEYS.issubset(obj):
-                rows.append(obj)
+    for line in text.splitlines():
+        line = line.strip()
+        if not (line.startswith("{") and line.endswith("}")):
+            continue
+        try:
+            row = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if ROW_KEYS.issubset(row):
+            rows.append(row)
     return rows
 
 

@@ -61,3 +61,20 @@ def test_merge_requires_rows(tmp_path):
         [sys.executable, MERGE, "--round", "3", "--inputs", str(empty)],
         capture_output=True)
     assert res.returncode != 0
+
+
+def test_merge_accepts_aggregate_input(tmp_path):
+    """A previously-merged aggregate artifact can seed a further merge
+    (the round-4 continuation flow in scripts/quality_remaining.sh)."""
+    agg = tmp_path / "QUALITY_prev.json"
+    agg.write_text(json.dumps({
+        "round": 3, "per_phore": [_row("A", 10, 100), _row("B", 5, 50)]}))
+    rows = tmp_path / "cont.rows"
+    rows.write_text(json.dumps(_row("C", 30, 100)) + "\n")
+    out = tmp_path / "merged.json"
+    subprocess.run(
+        [sys.executable, MERGE, "--round", "3", "--inputs", str(agg),
+         str(rows), "--out", str(out)], check=True, capture_output=True)
+    merged = json.loads(out.read_text())
+    assert {r["phore"] for r in merged["per_phore"]} == {"A", "B", "C"}
+    assert merged["overall_accepted"] == 45
