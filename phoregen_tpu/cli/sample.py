@@ -211,7 +211,9 @@ def main(argv=None):
         params = state.ema_params
     else:
         params = state.params
-    print(f"[I] Loaded checkpoint {args.ckpt} (epoch {meta.get('epoch')})")
+    tag = (f"step {meta['step']}" if meta.get("release")
+           else f"epoch {meta.get('epoch')}")
+    print(f"[I] Loaded checkpoint {args.ckpt} ({tag})")
     return run_pipeline(args, cfg, pg, params)
 
 
