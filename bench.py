@@ -26,7 +26,34 @@ import numpy as np
 BASELINE_MOL_PER_SEC = 100.0
 
 
+def _relay_alive() -> bool:
+    """Fast probe of the sandbox's axon loopback relay. When the relay
+    process has died (observed: host-side stdio closed after two clients
+    raced for the chip claim), backend init hangs for the ~1500 s claim
+    timeout before failing — fail fast with an honest diagnostic instead.
+    Only consulted under AXON_LOOPBACK_RELAY; real deployments skip it."""
+    import socket
+    try:
+        socket.create_connection(("127.0.0.1", 8082), timeout=3).close()
+        return True
+    except OSError:
+        return False
+
+
 def main():
+    if (os.environ.get("AXON_LOOPBACK_RELAY") == "1"
+            and os.environ.get("JAX_PLATFORMS", "") == "axon"
+            and not _relay_alive()):
+        print(json.dumps({
+            "metric": "sampling_throughput_1000step",
+            "value": 0.0,
+            "unit": "molecules/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "axon loopback relay unreachable (tunnel process "
+                     "dead); see BASELINE.md round-3 tunnel post-mortem",
+        }))
+        return
+
     from phoregen_tpu.config import default_config
     from phoregen_tpu.data.loader import PhoreDataLoader
     from phoregen_tpu.data.synthetic import synthetic_dataset
