@@ -108,7 +108,9 @@ class DenoiserConfig:
     use_pallas_triplet: bool = False
     # Fused whole-layer-stack execution for the sampling hot path
     # (ops/layer_stack.py): 'none' (default; per-layer flax modules),
-    # 'xla' (packed-weights scan), 'pallas' (one TPU kernel per block).
+    # 'xla' (packed-weights scan), 'pallas' (4 Pallas stage kernels per
+    # layer), 'pallas3' (node + triplet-PRE stages merged: 3 dispatches
+    # per layer — round-4 perf plan item 2, unmeasured on real Mosaic).
     # Fused modes freeze the layer-internal kNN index sets per block
     # (block_knn_freeze semantics) and require the flagship configuration.
     fused_stack: str = "none"

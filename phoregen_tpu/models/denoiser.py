@@ -275,6 +275,11 @@ class UniDenoiser(nn.Module):
         if self.fused_stack == "pallas":
             h2, x2, hb2 = ls.layer_stack_pallas(packed, hf, xf, hbf,
                                                 tables, dims)
+        elif self.fused_stack == "pallas3":
+            # merged node+triplet-PRE stage: 3 dispatches/layer
+            h2, x2, hb2 = ls.layer_stack_pallas(packed, hf, xf, hbf,
+                                                tables, dims,
+                                                merge_node_pre=True)
         elif self.fused_stack == "xla":
             h2, x2, hb2 = ls.layer_stack_xla(packed, hf, xf, hbf, tables,
                                              dims)

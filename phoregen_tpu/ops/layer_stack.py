@@ -506,6 +506,14 @@ def _stage_triplet_pre(w, h, x, hb, t, d: StackDims):
     return slices, q_z
 
 
+def _stage_node_pre(w, h, x, hb, t, d: StackDims):
+    """Merged Stage A+B1: `_stage_node` + `_stage_triplet_pre` in one
+    dispatch (fused_stack 'pallas3'). Returns (new_h, pre_t slices, q_z)."""
+    new_h = _stage_node(w, h, x, hb, t, d)
+    slices, q_z = _stage_triplet_pre(w, h, x, hb, t, d)
+    return new_h, slices, q_z
+
+
 def _stage_triplet_att(w, hb, pt, q_z, t, d: StackDims):
     """Stage B2: per-head triplet attention on precomputed features.
 
@@ -679,6 +687,13 @@ _TRIP_PRE_W = ("rbf_off", "t_Whb", "t_Wr", "t_Wn", "t_b", "t_Wji", "t_Wang",
                "t_ln_s", "t_ln_b", "tq_Whb", "tq_Wi", "tq_b0", "tq_ln_s",
                "tq_ln_b")
 _TRIP_PRE_T = ("trip_sel_row",)
+# merged Stage A+B1 (fused_stack 'pallas3'): one dispatch computes the node
+# updates AND the head-independent triplet features — 3 instead of 4
+# pallas_calls per layer (round-4 perf plan item 2, BASELINE.md). Kernel
+# bodies are unchanged; only the scoped-VMEM liveness of the combined body
+# is new, hence the separate config value until measured on real Mosaic.
+_NODE_PRE_W = tuple(dict.fromkeys(_NODE_W + _TRIP_PRE_W))
+_NODE_PRE_T = tuple(dict.fromkeys(_NODE_T + _TRIP_PRE_T))
 # ATT stage: dedicated (B, heads)-grid kernel, see _att_pallas
 _POS_W = ("rbf_off", "dire_W", "dire_b", "e_W", "e_b", "e_Wn_nh", "e_ln_s",
           "e_ln_b", "e_xk2", "e_xk2b", "e_xv2", "e_xv2b", "head_mask",
@@ -818,22 +833,31 @@ def _att_pallas(dims: StackDims, interpret):
 
 def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
                        tables: Dict[str, jnp.ndarray], dims: StackDims,
-                       interpret: bool = False):
-    """Same contract as `layer_stack_xla`, executed as three Pallas stage
-    kernels per layer (each stage compiled once; every edge/triplet grid
-    stays in VMEM)."""
+                       interpret: bool = False,
+                       merge_node_pre: bool = False):
+    """Same contract as `layer_stack_xla`, executed as Pallas stage kernels
+    per layer (each stage compiled once; every edge/triplet grid stays in
+    VMEM). `merge_node_pre` (fused_stack 'pallas3') combines the node and
+    triplet-PRE stages into one dispatch — 3 instead of 4 calls/layer."""
     L = packed["lin_b"].shape[0]
     N, NL, K, H = dims.N, dims.NL, dims.K, dims.H
     K8, Wt = dims.K8, dims.Wt
 
-    node_call = _stage_pallas(
-        lambda w, t, h_, x_, hb_: _stage_node(w, h_, x_, hb_, t, dims),
-        _NODE_W, _NODE_T, 3, [(N, H)], dims, interpret)
-    trip_pre_call = _stage_pallas(
-        lambda w, t, h_, x_, hb_: _stage_triplet_pre(w, h_, x_, hb_, t,
-                                                     dims),
-        _TRIP_PRE_W, _TRIP_PRE_T, 3, [(K8, NL, NL, Wt), (NL * NL, H)],
-        dims, interpret)
+    if merge_node_pre:
+        node_pre_call = _stage_pallas(
+            lambda w, t, h_, x_, hb_: _stage_node_pre(w, h_, x_, hb_, t,
+                                                      dims),
+            _NODE_PRE_W, _NODE_PRE_T, 3,
+            [(N, H), (K8, NL, NL, Wt), (NL * NL, H)], dims, interpret)
+    else:
+        node_call = _stage_pallas(
+            lambda w, t, h_, x_, hb_: _stage_node(w, h_, x_, hb_, t, dims),
+            _NODE_W, _NODE_T, 3, [(N, H)], dims, interpret)
+        trip_pre_call = _stage_pallas(
+            lambda w, t, h_, x_, hb_: _stage_triplet_pre(w, h_, x_, hb_, t,
+                                                         dims),
+            _TRIP_PRE_W, _TRIP_PRE_T, 3, [(K8, NL, NL, Wt), (NL * NL, H)],
+            dims, interpret)
     trip_att_call = _att_pallas(dims, interpret)
     pos_call = _stage_pallas(
         lambda w, t, nh_, x_, hbn_: _stage_pos(w, nh_, x_, hbn_, t, dims),
@@ -841,8 +865,11 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
 
     for l in range(L):
         w_l = jax.tree_util.tree_map(lambda a: a[l], packed)
-        new_h = node_call(w_l, tables, h, x, hb)
-        pre_t, q_z = trip_pre_call(w_l, tables, h, x, hb)
+        if merge_node_pre:
+            new_h, pre_t, q_z = node_pre_call(w_l, tables, h, x, hb)
+        else:
+            new_h = node_call(w_l, tables, h, x, hb)
+            pre_t, q_z = trip_pre_call(w_l, tables, h, x, hb)
         hb = trip_att_call(w_l, tables, hb, pre_t, q_z)
         x = pos_call(w_l, tables, new_h, x, hb)
         h = new_h

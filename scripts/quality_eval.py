@@ -70,7 +70,7 @@ def main():
                          "pipeline (-1 = config default/exact); the "
                          "quick-trained weights are knn-agnostic")
     ap.add_argument("--fused_stack", default="",
-                    choices=["", "none", "xla", "pallas"],
+                    choices=["", "none", "xla", "pallas", "pallas3"],
                     help="denoiser.fused_stack override for the sampling "
                          "pipeline (whole-layer-stack kernel)")
     ap.add_argument("--time_budget", type=float, default=0.0,
