@@ -57,7 +57,7 @@ def parse_args(argv=None):
                         "many steps (identical math/PRNG; for runtimes that "
                         "cap single-execution wall-time; 0 = one scan)")
     p.add_argument("--fused_stack", default="",
-                   choices=["", "none", "xla", "pallas", "pallas3"],
+                   choices=["", "none", "xla", "pallas", "pallas3", "pallas2"],
                    help="override denoiser.fused_stack for sampling (the "
                         "whole-layer-stack kernel, ops/layer_stack.py); "
                         "parameter-compatible with any checkpoint of the "
@@ -78,6 +78,9 @@ def parse_args(argv=None):
                         "nearest neighbours; -1 = keep checkpoint config). "
                         "Parameter-compatible: only masks which triplets "
                         "are enumerated.")
+    p.add_argument("--force", action="store_true",
+                   help="allow quality-collapsing overrides (e.g. sampling "
+                        "triplet_knn narrower than the trained K)")
     p.add_argument("--seed", type=int, default=2024)
     p.add_argument("--use_ema", action="store_true",
                    help="sample with the EMA shadow params")
@@ -151,6 +154,15 @@ def main(argv=None):
         from ..utils.torch_import import load_reference_checkpoint
         cfg = load_config(args.config)
         if args.triplet_knn >= 0:
+            trained_knn = cfg.model.denoiser.triplet_knn
+            if (args.triplet_knn != 0
+                    and (trained_knn == 0 or args.triplet_knn < trained_knn)
+                    and not args.force):
+                raise SystemExit(
+                    f"[E] sampling triplet_knn={args.triplet_knn} narrows "
+                    f"below the config triplet_knn={trained_knn} (quality "
+                    f"collapse, BASELINE.md round 3); use 0, K >= trained, "
+                    f"or --force")
             cfg.model.denoiser.triplet_knn = args.triplet_knn
         if args.fused_stack:
             cfg.model.denoiser.fused_stack = args.fused_stack
@@ -180,6 +192,16 @@ def main(argv=None):
             # knn32-trained weights collapses acceptance 42% -> 0/304
             # (BASELINE.md "knn-match finding") — widening (or exact 0) is
             # safe, narrowing below the trained K is not
+            narrowing = (args.triplet_knn != 0
+                         and (trained_knn == 0
+                              or args.triplet_knn < trained_knn))
+            if narrowing and not args.force:
+                raise SystemExit(
+                    f"[E] sampling triplet_knn={args.triplet_knn} narrows "
+                    f"below the trained triplet_knn={trained_knn}: measured "
+                    f"to collapse acceptance (42% -> 0/304, BASELINE.md "
+                    f"round 3). Use 0 (exact), K >= trained, or --force to "
+                    f"override.")
             print(f"[W] sampling triplet_knn={args.triplet_knn} != trained "
                   f"triplet_knn={trained_knn}: quality can collapse when "
                   f"narrowing below the trained K (BASELINE.md round 3); "

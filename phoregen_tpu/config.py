@@ -110,7 +110,8 @@ class DenoiserConfig:
     # (ops/layer_stack.py): 'none' (default; per-layer flax modules),
     # 'xla' (packed-weights scan), 'pallas' (4 Pallas stage kernels per
     # layer), 'pallas3' (node + triplet-PRE stages merged: 3 dispatches
-    # per layer — round-4 perf plan item 2, unmeasured on real Mosaic).
+    # per layer), 'pallas2' (+ pos update folded into the attention
+    # kernel's last head step: 2 dispatches per layer).
     # Fused modes freeze the layer-internal kNN index sets per block
     # (block_knn_freeze semantics) and require the flagship configuration.
     fused_stack: str = "none"

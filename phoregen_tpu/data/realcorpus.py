@@ -59,6 +59,22 @@ _BOND_LEN = 1.5
 _AROM_RING_R = 1.39
 
 
+def zinc_like_size(rng: np.random.Generator, max_atoms: int = MAX_ATOMS,
+                   mean: float = 23.0, std: float = 6.0,
+                   lo: int = 15) -> int:
+    """Drug-like heavy-atom count: truncated normal matching the ZINC
+    distribution the reference trains on (reference molecules span 4-78
+    heavy atoms with a ~23-atom mode, `models/diffusion.py:30-31`,
+    `datasets/phoregen.py:37`). Round-3 pools averaged 9-15 atoms because
+    the corpus grower targeted `anchors + U(2,14)` — validity at 9 atoms
+    is not the game the reference plays (VERDICT round 3, item 4)."""
+    n = int(round(rng.normal(mean, std)))
+    # upper clip: ZINC-like corpora cap near 40; complex-scale fine-tune
+    # corpora (higher mean) run to the model bound
+    hi = min(max_atoms, 40 if mean <= 30 else MAX_ATOMS)
+    return int(np.clip(n, min(lo, hi), hi))
+
+
 def list_real_phore_files(include_sampling: bool = True) -> List[str]:
     """All bundled real `.phore` files, deterministic order."""
     files = sorted(glob.glob(os.path.join(REAL_PHORE_ROOT, "*", "*.phore")))
@@ -361,7 +377,8 @@ def _anchor_element(ptype: str, rng: np.random.Generator) -> int:
 
 
 def grow_anchored(rng: np.random.Generator, phore: Phore,
-                  max_atoms: int = MAX_ATOMS
+                  max_atoms: int = MAX_ATOMS, size_mean: float = 23.0,
+                  size_std: float = 6.0
                   ) -> Tuple[np.ndarray, np.ndarray,
                              Optional[np.ndarray], Optional[np.ndarray]]:
     """Grow a valence-valid connected molecule over a phore's typed points."""
@@ -425,8 +442,11 @@ def grow_anchored(rng: np.random.Generator, phore: Phore,
         mb.add_atom(_C, np.zeros(3))
         mb.decorate(int(rng.integers(MIN_ATOMS, 13)))
 
-    # size signal: grow toward a target correlated with anchor scaffold size
-    target = mb.n + int(rng.integers(2, 14))
+    # size signal: drug-like target (ZINC distribution), at least the
+    # anchored scaffold plus a small margin — round-3 pools averaged 9-15
+    # atoms under the old `anchors + U(2,14)` rule (VERDICT item 4)
+    target = max(mb.n + int(rng.integers(2, 8)),
+                 zinc_like_size(rng, max_atoms, size_mean, size_std))
     mb.decorate(min(target, max_atoms))
     mb.upgrade_random_bonds()
     mb.push_out_of_ex(ex_pos)
@@ -523,18 +543,22 @@ def _to_raw(phore: Phore, types, lpos, bidx, battr,
 
 def real_phore_sample(rng: np.random.Generator, phore: Phore,
                       data_name: str = "zinc_300", max_phore: int = 96,
-                      max_atoms: int = MAX_ATOMS) -> RawSample:
+                      max_atoms: int = MAX_ATOMS,
+                      size_mean: float = 23.0,
+                      size_std: float = 6.0) -> RawSample:
     capped = cap_phore(phore, max_phore, rng)
-    types, lpos, bidx, battr = grow_anchored(rng, capped, max_atoms)
+    types, lpos, bidx, battr = grow_anchored(rng, capped, max_atoms,
+                                             size_mean, size_std)
     return _to_raw(capped, types, lpos, bidx, battr, data_name,
                    f"real_{phore.name}")
 
 
 def free_sample(rng: np.random.Generator, data_name: str = "zinc_300",
                 max_phore: int = 96, max_atoms: int = MAX_ATOMS,
-                n_atoms: Optional[int] = None) -> RawSample:
+                n_atoms: Optional[int] = None, size_mean: float = 23.0,
+                size_std: float = 6.0) -> RawSample:
     if n_atoms is None:
-        n_atoms = int(rng.integers(8, min(40, max_atoms) + 1))
+        n_atoms = zinc_like_size(rng, max_atoms, size_mean, size_std)
     (types, lpos, bidx, battr), mb = grow_free(rng, n_atoms, max_atoms)
     phore = derive_phore(rng, mb, max_phore, data_name)
     return _to_raw(phore, types, lpos, bidx, battr, data_name, "free")
@@ -560,7 +584,8 @@ def mixed_corpus(seed: int, n_samples: int, data_name: str = "zinc_300",
                  max_phore: int = 96, max_atoms: int = MAX_ATOMS,
                  real_frac: float = 0.5,
                  phores: Optional[Sequence[Phore]] = None,
-                 holdout: Optional[Sequence[str]] = None
+                 holdout: Optional[Sequence[str]] = None,
+                 size_mean: float = 23.0, size_std: float = 6.0
                  ) -> List[RawSample]:
     """`n_samples` RawSamples: `real_frac` anchored to bundled real phores
     (cycled + re-grown with fresh randomness), the rest free-grown with
@@ -576,7 +601,8 @@ def mixed_corpus(seed: int, n_samples: int, data_name: str = "zinc_300",
         if phores and rng.random() < real_frac:
             ph = phores[int(rng.integers(len(phores)))]
             out.append(real_phore_sample(rng, ph, data_name, max_phore,
-                                         max_atoms))
+                                         max_atoms, size_mean, size_std))
         else:
-            out.append(free_sample(rng, data_name, max_phore, max_atoms))
+            out.append(free_sample(rng, data_name, max_phore, max_atoms,
+                                   size_mean=size_mean, size_std=size_std))
     return out

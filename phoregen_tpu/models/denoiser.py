@@ -280,6 +280,12 @@ class UniDenoiser(nn.Module):
             h2, x2, hb2 = ls.layer_stack_pallas(packed, hf, xf, hbf,
                                                 tables, dims,
                                                 merge_node_pre=True)
+        elif self.fused_stack == "pallas2":
+            # + pos folded into the attention epilogue: 2 dispatches/layer
+            h2, x2, hb2 = ls.layer_stack_pallas(packed, hf, xf, hbf,
+                                                tables, dims,
+                                                merge_node_pre=True,
+                                                merge_pos=True)
         elif self.fused_stack == "xla":
             h2, x2, hb2 = ls.layer_stack_xla(packed, hf, xf, hbf, tables,
                                              dims)

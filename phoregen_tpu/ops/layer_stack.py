@@ -831,14 +831,106 @@ def _att_pallas(dims: StackDims, interpret):
     return call
 
 
+def _att_pos_pallas(dims: StackDims, interpret):
+    """Triplet head attention with the POS update fused into the last
+    head's epilogue (fused_stack 'pallas2'): grid (B, heads); the hb_new
+    output block accumulates in place across the head axis, and at
+    h == heads-1 the completed hb_new feeds `_stage_pos` inside the same
+    grid step — 2 dispatches/layer with `merge_node_pre`. The pos-stage
+    temporaries are only live in the final head step; the scoped-VMEM
+    booking stays under the 96 MB cap because the ATT per-step footprint
+    is ~1 MB."""
+    NL, N, H, heads, Wt, K8 = (dims.NL, dims.N, dims.H, dims.heads,
+                               dims.Wt, dims.K8)
+    inv_sw = 1.0 / float(np.sqrt(Wt))
+    pw = sorted(_POS_W)
+    pt_keys = sorted(_POS_T)
+    n_pw, n_pt = len(pw), len(pt_keys)
+
+    def kernel(*refs):
+        tqW1, tqb1, toutW, toutb = refs[:4]
+        pos_w_refs = refs[4:4 + n_pw]
+        pos_t_refs = refs[4 + n_pw:4 + n_pw + n_pt]
+        hb, pt, qz, tv, new_h, x = refs[4 + n_pw + n_pt:
+                                        4 + n_pw + n_pt + 6]
+        out_hb, out_x = refs[-2:]
+
+        hh = pl.program_id(1)
+        q_h = (qz[0] @ tqW1[0] + tqb1[hh]).reshape(NL, NL, Wt)
+        sc = jnp.stack([jnp.sum(pt[0, k] * q_h, -1) for k in range(K8)],
+                       0) * inv_sw                          # [K8,j,i]
+        al = _softmax0_unrolled(sc, tv[0])
+        pooled = al[0][..., None] * pt[0, 0]
+        for k in range(1, K8):
+            pooled = pooled + al[k][..., None] * pt[0, k]   # [NL,NL,Wt]
+        contrib = (pooled.reshape(NL * NL, Wt) @ toutW[0]
+                   ).reshape(NL, NL, H)
+
+        @pl.when(hh == 0)
+        def _init():
+            out_hb[0] = hb[0] + toutb[...] + contrib
+
+        @pl.when(hh != 0)
+        def _acc():
+            out_hb[0] = out_hb[0] + contrib
+
+        @pl.when(hh == heads - 1)
+        def _pos_epilogue():
+            w = {k: r[...] for k, r in zip(pw, pos_w_refs)}
+            t = {k: r[0] for k, r in zip(pt_keys, pos_t_refs)}
+            out_x[0] = _stage_pos(w, new_h[0], x[0], out_hb[0], t, dims)
+
+    def call(w_l, tables, hb, pre_t, q_z, new_h, x):
+        B = hb.shape[0]
+
+        def rep(shape):      # same block for every (b, h)
+            nd = len(shape)
+            return pl.BlockSpec((1,) + shape[1:],
+                                lambda b, h, nd=nd: (b,) + (0,) * (nd - 1))
+
+        def w_rep(le):       # full weight array for every (b, h)
+            return pl.BlockSpec(le.shape, lambda b, h, nd=le.ndim: (0,) * nd)
+
+        pos_w = [w_l[k] for k in pw]
+        pos_t = [tables[k] for k in pt_keys]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B, heads),
+            in_specs=(
+                [pl.BlockSpec((1, H, Wt), lambda b, h: (h, 0, 0)),   # tq_W1
+                 pl.BlockSpec((heads, Wt), lambda b, h: (0, 0)),     # tq_b1
+                 pl.BlockSpec((1, Wt, H), lambda b, h: (h, 0, 0)),   # t_out_W
+                 pl.BlockSpec((H,), lambda b, h: (0,))]              # t_out_b
+                + [w_rep(a) for a in pos_w]
+                + [rep(a.shape) for a in pos_t]
+                + [rep(hb.shape), rep(pre_t.shape), rep(q_z.shape),
+                   rep(tables["trip_valid"].shape),
+                   rep(new_h.shape), rep(x.shape)]),
+            out_specs=[pl.BlockSpec((1, NL, NL, H),
+                                    lambda b, h: (b, 0, 0, 0)),
+                       pl.BlockSpec((1, N, 3), lambda b, h: (b, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((B, NL, NL, H), jnp.float32),
+                       jax.ShapeDtypeStruct((B, N, 3), jnp.float32)],
+            interpret=interpret or _FORCE_INTERPRET,
+            compiler_params=_COMPILER_PARAMS,
+        )(w_l["tq_W1"], w_l["tq_b1"], w_l["t_out_W"], w_l["t_out_b"],
+          *pos_w, *pos_t, hb, pre_t, q_z, tables["trip_valid"], new_h, x)
+        return outs[0], outs[1]
+
+    return call
+
+
 def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
                        tables: Dict[str, jnp.ndarray], dims: StackDims,
                        interpret: bool = False,
-                       merge_node_pre: bool = False):
+                       merge_node_pre: bool = False,
+                       merge_pos: bool = False):
     """Same contract as `layer_stack_xla`, executed as Pallas stage kernels
     per layer (each stage compiled once; every edge/triplet grid stays in
     VMEM). `merge_node_pre` (fused_stack 'pallas3') combines the node and
-    triplet-PRE stages into one dispatch — 3 instead of 4 calls/layer."""
+    triplet-PRE stages into one dispatch — 3 instead of 4 calls/layer;
+    `merge_pos` additionally folds the pos update into the attention
+    kernel's last head step (fused_stack 'pallas2' — 2 calls/layer)."""
     L = packed["lin_b"].shape[0]
     N, NL, K, H = dims.N, dims.NL, dims.K, dims.H
     K8, Wt = dims.K8, dims.Wt
@@ -858,10 +950,14 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
                                                          dims),
             _TRIP_PRE_W, _TRIP_PRE_T, 3, [(K8, NL, NL, Wt), (NL * NL, H)],
             dims, interpret)
-    trip_att_call = _att_pallas(dims, interpret)
-    pos_call = _stage_pallas(
-        lambda w, t, nh_, x_, hbn_: _stage_pos(w, nh_, x_, hbn_, t, dims),
-        _POS_W, _POS_T, 3, [(N, 3)], dims, interpret)
+    if merge_pos:
+        att_pos_call = _att_pos_pallas(dims, interpret)
+    else:
+        trip_att_call = _att_pallas(dims, interpret)
+        pos_call = _stage_pallas(
+            lambda w, t, nh_, x_, hbn_: _stage_pos(w, nh_, x_, hbn_, t,
+                                                   dims),
+            _POS_W, _POS_T, 3, [(N, 3)], dims, interpret)
 
     for l in range(L):
         w_l = jax.tree_util.tree_map(lambda a: a[l], packed)
@@ -870,7 +966,10 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
         else:
             new_h = node_call(w_l, tables, h, x, hb)
             pre_t, q_z = trip_pre_call(w_l, tables, h, x, hb)
-        hb = trip_att_call(w_l, tables, hb, pre_t, q_z)
-        x = pos_call(w_l, tables, new_h, x, hb)
+        if merge_pos:
+            hb, x = att_pos_call(w_l, tables, hb, pre_t, q_z, new_h, x)
+        else:
+            hb = trip_att_call(w_l, tables, hb, pre_t, q_z)
+            x = pos_call(w_l, tables, new_h, x, hb)
         h = new_h
     return h, x, hb

@@ -15,6 +15,7 @@ for spec in \
     "none 8 0 split" \
     "pallas 8 1 split" \
     "pallas3 8 1 split" \
+    "pallas2 8 1 split" \
     "xla 8 1 split" \
     "pallas 32 1 split" \
     "none 32 0 concat" \

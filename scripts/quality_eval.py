@@ -70,7 +70,7 @@ def main():
                          "pipeline (-1 = config default/exact); the "
                          "quick-trained weights are knn-agnostic")
     ap.add_argument("--fused_stack", default="",
-                    choices=["", "none", "xla", "pallas", "pallas3"],
+                    choices=["", "none", "xla", "pallas", "pallas3", "pallas2"],
                     help="denoiser.fused_stack override for the sampling "
                          "pipeline (whole-layer-stack kernel)")
     ap.add_argument("--time_budget", type=float, default=0.0,
@@ -86,6 +86,10 @@ def main():
     ap.add_argument("--no_guidance", action="store_true",
                     help="disable the canonical sample.sh guidance recipe "
                          "(atom_prox 1-3 A + center_prox)")
+    ap.add_argument("--frag_attract", type=float, default=0.0,
+                    help="add the connectivity guidance energy with this "
+                         "weight (0 = off); attacks the dominant 2-fragment "
+                         "disconnection failure (VERDICT round 3)")
     ap.add_argument("--synthetic_phores", type=int, default=2,
                     help="also sample this many in-distribution synthetic "
                          "pharmacophores (the quick-trained weights' "
@@ -171,6 +175,9 @@ def main():
         from phoregen_tpu.sample.sampler import GuidanceOpt
         guidance = [GuidanceOpt(type="atom_prox", min_d=1.0, max_d=3.0),
                     GuidanceOpt(type="center_prox")]
+        if args.frag_attract > 0:
+            guidance.append(GuidanceOpt(type="frag_attract",
+                                        weight=args.frag_attract))
     pipe = GenerationPipeline(pg, params, batch_size=args.batch_size,
                               add_edge="predicted", seed=args.seed,
                               chunk_steps=args.chunk_steps,

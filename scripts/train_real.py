@@ -46,6 +46,13 @@ def flagship_config(args):
     cfg.train.dtype = args.dtype
     cfg.model.denoiser.triplet_knn = args.triplet_knn
     cfg.model.denoiser.remat_layers = True
+    if getattr(args, "stage2", False):
+        # stage-2 fine-tune shape (reference
+        # `configs/train_dock-cpx-phore.yml:59-67`: complex-scale pairs,
+        # smaller batch, frozen positions per `run/run.py:216`)
+        ds.ligand_buckets = [80]
+        cfg.train.freeze_pos = True
+        cfg.train.lr = min(cfg.train.lr, 5e-5)
     cfg.finalize()
     return cfg
 
@@ -59,6 +66,18 @@ def main():
     ap.add_argument("--triplet_knn", type=int, default=32)
     ap.add_argument("--out", default="/tmp/train_real")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--warm_start", default="",
+                    help="stage-2 fine-tune: load model weights only from "
+                         "this checkpoint prefix (reference "
+                         "`run/run.py:54-56` dataset.checkpoint semantics)")
+    ap.add_argument("--stage2", action="store_true",
+                    help="fine-tune stage shape: NL=80 bucket, freeze_pos, "
+                         "reduced lr (reference "
+                         "configs/train_dock-cpx-phore.yml)")
+    ap.add_argument("--size_mean", type=float, default=0.0,
+                    help="ligand heavy-atom target mean (0 = auto: 23 "
+                         "ZINC-like, 32 for --stage2 complex-like)")
+    ap.add_argument("--size_std", type=float, default=6.0)
     ap.add_argument("--platform", default="")
     ap.add_argument("--seed", type=int, default=2024)
     ap.add_argument("--ckpt_every", type=int, default=2000)
@@ -91,14 +110,20 @@ def main():
     cfg = flagship_config(args)
     pg = PhoreGen(cfg)
     B = args.batch_size
+    size_mean = args.size_mean or (32.0 if args.stage2 else 23.0)
+    size_kw = dict(size_mean=size_mean, size_std=args.size_std)
 
-    valid_set = mixed_corpus(args.seed - 1, 1024, holdout=HOLDOUT)
+    valid_set = mixed_corpus(args.seed - 1, 1024, holdout=HOLDOUT, **size_kw)
     valid_loader = PhoreDataLoader(valid_set, cfg, B, shuffle=False)
 
-    tmpl = mixed_corpus(args.seed - 2, B, holdout=HOLDOUT)
+    tmpl = mixed_corpus(args.seed - 2, B, holdout=HOLDOUT, **size_kw)
     tmpl_loader = PhoreDataLoader(tmpl, cfg, B, shuffle=False)
     params = pg.init_params(jax.random.PRNGKey(args.seed),
                             next(iter(tmpl_loader)))
+    if args.warm_start:
+        from phoregen_tpu.train.checkpoint import load_params_only
+        params = load_params_only(args.warm_start, params)
+        log(f"warm-started model weights from {args.warm_start}")
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     state = create_train_state(cfg.train, params)
 
@@ -133,7 +158,8 @@ def main():
     best_valid = float("inf")
     while step < args.steps:
         corpus = mixed_corpus(args.seed + 1000 + chunk_idx,
-                              args.chunk_samples, holdout=HOLDOUT)
+                              args.chunk_samples, holdout=HOLDOUT,
+                              **size_kw)
         chunk_idx += 1
         loader = PhoreDataLoader(corpus, cfg, B, shuffle=True,
                                  seed=args.seed + chunk_idx, augment=True)

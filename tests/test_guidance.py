@@ -63,3 +63,35 @@ def test_sample_counts_bounds():
     assert cn.min() >= 10 and cn.max() <= 20
     with pytest.raises(NotImplementedError):
         Sampler.sample_counts(key, 10, 20, 4, mode="bogus")
+
+
+def test_frag_attract_energy():
+    """Connected chain ~ zero energy; two separated clusters -> positive
+    energy whose gradient pulls the clusters together."""
+    from phoregen_tpu.sample.sampler import frag_attract_energy
+
+    # 6-atom chain at bond length: connected -> tiny energy
+    chain = jnp.asarray(
+        [[[1.5 * i, 0., 0.] for i in range(6)] + [[0., 0., 0.]] * 2])
+    mask = jnp.asarray([[True] * 6 + [False] * 2])
+    e_conn = float(frag_attract_energy(chain, mask))
+    assert e_conn < 0.05, e_conn
+
+    # two 3-atom clusters 12 A apart -> large unreached fraction
+    split = jnp.asarray(
+        [[[1.5 * i, 0., 0.] for i in range(3)]
+         + [[12.0 + 1.5 * i, 0., 0.] for i in range(3)]
+         + [[0., 0., 0.]] * 2])
+    e_split = float(frag_attract_energy(split, mask))
+    assert e_split > 10 * max(e_conn, 1e-6), (e_split, e_conn)
+
+    # gradient pulls the far cluster toward the seed cluster (negative x)
+    g = jax.grad(lambda p: frag_attract_energy(p, mask))(split)
+    g = np.asarray(g)[0]
+    assert np.isfinite(g).all()
+    # moving the far cluster in -x must reduce the energy
+    far_x = g[3:6, 0]
+    assert far_x.sum() > 0.0, far_x  # dE/dx > 0 -> descent moves -x
+
+    # padded atoms get zero gradient
+    np.testing.assert_allclose(g[6:], 0.0, atol=1e-9)

@@ -155,6 +155,28 @@ def test_pallas3_interpret_matches_xla(batch_and_key):
                                    atol=5e-4, err_msg=name)
 
 
+def test_pallas2_interpret_matches_xla(batch_and_key):
+    """The fully-merged 2-dispatch layer (fused_stack 'pallas2': node+PRE
+    merged AND pos folded into the attention kernel's last head step) vs
+    the packed XLA driver — interpret mode on CPU."""
+    pytest.importorskip("jax.experimental.pallas")
+    from phoregen_tpu.ops import layer_stack as ls
+    batch, key = batch_and_key
+    cfg = _setup("xla", freeze=False)
+    params, out_xla = _forward(cfg, batch, key)
+    ls._FORCE_INTERPRET = True
+    try:
+        cfg_p = _setup("pallas2", freeze=False)
+        _, out_pal = _forward(cfg_p, batch, key, params=params)
+    finally:
+        ls._FORCE_INTERPRET = False
+    for name, a, b in zip(["node", "pos", "edge"], out_xla, out_pal):
+        if a is None or isinstance(a, tuple):
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4, err_msg=name)
+
+
 def test_fused_stack_inside_sampler_scan(batch_and_key):
     """End-to-end: the fused paths run inside the jitted reverse scan and
     match the standard path through 6 full reverse steps (~1e-5)."""
