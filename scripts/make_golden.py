@@ -29,7 +29,7 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: sandbox pins axon (TPU); CPU analysis must not race the chip claim
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

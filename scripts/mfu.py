@@ -19,8 +19,18 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE the CPU platform: the FLOP count is platform-invariant and this
+# must never race another process for the sandbox's single TPU claim
+# (setdefault is not enough — the sandbox pins JAX_PLATFORMS=axon)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import numpy as np

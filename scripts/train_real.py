@@ -191,6 +191,8 @@ def main():
                     log(f"eval @ {step}: loss={ev['loss']:.3f} "
                         f"node_acc={ev.get('node_acc', 0):.3f} "
                         f"edge_acc={ev.get('edge_acc', 0):.3f} "
+                        f"node_el={ev.get('node_elem_acc', 0):.3f} "
+                        f"edge_el={ev.get('edge_elem_acc', 0):.3f} "
                         f"count_hit={ev.get('count_hit', 0):.3f}{tag}")
                 if step % args.ckpt_every == 0:
                     save_checkpoint(ckpt_prefix, state, 0, cfg.to_dict(),
