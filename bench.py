@@ -83,6 +83,8 @@ def main():
     cfg.model.compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
     # whole-layer-stack fused execution (ops/layer_stack.py)
     cfg.model.denoiser.fused_stack = os.environ.get("BENCH_FUSED", "none")
+    cfg.model.denoiser.fused_block_dtype = os.environ.get(
+        "BENCH_BLOCK_DTYPE", "float32")
     # trace-time MLP application style (split = fewer FLOPs, concat = fewer
     # compiled ops; identical params/algebra — models/layers.py). The bench
     # defaults to 'concat': the round-2 1.068 mol/s measurement used the

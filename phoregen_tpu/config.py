@@ -115,6 +115,11 @@ class DenoiserConfig:
     # Fused modes freeze the layer-internal kNN index sets per block
     # (block_knn_freeze semantics) and require the flagship configuration.
     fused_stack: str = "none"
+    # dtype of the fused stack's inter-stage HBM blocks (the triplet
+    # pre-features / q_z handed from the PRE stage to the attention
+    # kernel): 'bfloat16' halves that revisited-block traffic; all in-kernel
+    # softmax/accumulation math stays f32 (round-4 perf plan item 4).
+    fused_block_dtype: str = "float32"
     # How the attention layers' edge k/v MLPs are applied — same parameter
     # tree and algebra either way (checkpoint-compatible, parity-tested):
     # 'split' applies the first linear layer as per-input-block matmuls

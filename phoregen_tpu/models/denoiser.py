@@ -86,6 +86,9 @@ class UniDenoiser(nn.Module):
     # (norm, direction_match, include_h_node, factorized kNN triplet,
     # scan_layers for stacked params).
     fused_stack: str = "none"
+    # dtype of the fused stack's PRE->ATT inter-stage HBM blocks
+    # (ops/layer_stack.py block_dtype); in-kernel math stays f32
+    fused_block_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, h, x, h_bond, node_mask, phore_norm=None,
@@ -272,20 +275,25 @@ class UniDenoiser(nn.Module):
         tables["phore_norm"] = phore_norm.astype(jnp.float32)
         hf, xf, hbf = (h.astype(jnp.float32), x.astype(jnp.float32),
                        h_bond.astype(jnp.float32))
+        bdt = (jnp.bfloat16 if self.fused_block_dtype == "bfloat16"
+               else jnp.float32)
         if self.fused_stack == "pallas":
             h2, x2, hb2 = ls.layer_stack_pallas(packed, hf, xf, hbf,
-                                                tables, dims)
+                                                tables, dims,
+                                                block_dtype=bdt)
         elif self.fused_stack == "pallas3":
             # merged node+triplet-PRE stage: 3 dispatches/layer
             h2, x2, hb2 = ls.layer_stack_pallas(packed, hf, xf, hbf,
                                                 tables, dims,
-                                                merge_node_pre=True)
+                                                merge_node_pre=True,
+                                                block_dtype=bdt)
         elif self.fused_stack == "pallas2":
             # + pos folded into the attention epilogue: 2 dispatches/layer
             h2, x2, hb2 = ls.layer_stack_pallas(packed, hf, xf, hbf,
                                                 tables, dims,
                                                 merge_node_pre=True,
-                                                merge_pos=True)
+                                                merge_pos=True,
+                                                block_dtype=bdt)
         elif self.fused_stack == "xla":
             h2, x2, hb2 = ls.layer_stack_xla(packed, hf, xf, hbf, tables,
                                              dims)

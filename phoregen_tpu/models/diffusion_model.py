@@ -67,7 +67,8 @@ class PhoreDiffNet(nn.Module):
             edge_mlp_apply=d.edge_mlp_apply,
             remat_layers=d.remat_layers,
             block_knn_freeze=d.block_knn_freeze,
-            fused_stack=d.fused_stack)
+            fused_stack=d.fused_stack,
+            fused_block_dtype=d.fused_block_dtype)
         self.v_inference_0 = nn.Dense(H)
         self.v_inference_2 = nn.Dense(cfg.num_atom_classes)
         # count-head final biases open the initial interval to

@@ -704,7 +704,8 @@ _POS_T = ("nbr_onehot", "nbr_mask", "lig3_w", "pair_mask", "edge_type",
 
 
 def _stage_pallas(stage_fn, w_keys, t_keys, n_arr, out_shapes, dims,
-                  interpret, ref_w_keys=(), ref_arr_idx=()):
+                  interpret, ref_w_keys=(), ref_arr_idx=(),
+                  out_dtypes=None):
     """Build a pallas_call for one stage: weights replicated (block = full
     array), batch arrays/tables blocked per graph, grid (B,).
 
@@ -738,9 +739,9 @@ def _stage_pallas(stage_fn, w_keys, t_keys, n_arr, out_shapes, dims,
                 if isinstance(val, list):
                     # slice-wise writes (no stacked temp on the VMEM stack)
                     for k, sl in enumerate(val):
-                        o_ref[0, k] = sl
+                        o_ref[0, k] = sl.astype(o_ref.dtype)
                 else:
-                    o_ref[0] = val
+                    o_ref[0] = val.astype(o_ref.dtype)
 
         def w_spec(le):
             return pl.BlockSpec(le.shape,
@@ -750,6 +751,7 @@ def _stage_pallas(stage_fn, w_keys, t_keys, n_arr, out_shapes, dims,
             return pl.BlockSpec((1,) + le.shape[1:],
                                 lambda b, nd=le.ndim: (b,) + (0,) * (nd - 1))
 
+        odt = out_dtypes or [jnp.float32] * len(out_shapes)
         out = pl.pallas_call(
             kernel,
             grid=(B,),
@@ -758,8 +760,8 @@ def _stage_pallas(stage_fn, w_keys, t_keys, n_arr, out_shapes, dims,
             out_specs=[b_spec_o for b_spec_o in
                        (pl.BlockSpec((1,) + s, lambda b, nd=len(s): (b,)
                                      + (0,) * nd) for s in out_shapes)],
-            out_shape=[jax.ShapeDtypeStruct((B,) + s, jnp.float32)
-                       for s in out_shapes],
+            out_shape=[jax.ShapeDtypeStruct((B,) + s, dt)
+                       for s, dt in zip(out_shapes, odt)],
             interpret=interpret or _FORCE_INTERPRET,
             compiler_params=_COMPILER_PARAMS,
         )(*(wl + tl + list(arrays)))
@@ -781,15 +783,19 @@ def _att_pallas(dims: StackDims, interpret):
 
     def kernel(tqW1, tqb1, toutW, toutb, hb, pt, qz, tv, out):
         hh = pl.program_id(1)
+        # inter-stage blocks may arrive bf16 (fused_block_dtype); all math
+        # here stays f32
+        ptk = lambda k: pt[0, k].astype(jnp.float32)
         # tq_b1 [heads, Wt] can't be blocked per head (sublane block of 1
         # violates the (8,128) tiling rule); load the row from the full ref
-        q_h = (qz[0] @ tqW1[0] + tqb1[hh]).reshape(NL, NL, Wt)
-        sc = jnp.stack([jnp.sum(pt[0, k] * q_h, -1) for k in range(K8)],
+        q_h = (qz[0].astype(jnp.float32) @ tqW1[0] + tqb1[hh]
+               ).reshape(NL, NL, Wt)
+        sc = jnp.stack([jnp.sum(ptk(k) * q_h, -1) for k in range(K8)],
                        0) * inv_sw                          # [K8,j,i]
         al = _softmax0_unrolled(sc, tv[0])
-        pooled = al[0][..., None] * pt[0, 0]
+        pooled = al[0][..., None] * ptk(0)
         for k in range(1, K8):
-            pooled = pooled + al[k][..., None] * pt[0, k]   # [NL,NL,Wt]
+            pooled = pooled + al[k][..., None] * ptk(k)     # [NL,NL,Wt]
         contrib = (pooled.reshape(NL * NL, Wt) @ toutW[0]
                    ).reshape(NL, NL, H)
 
@@ -856,13 +862,15 @@ def _att_pos_pallas(dims: StackDims, interpret):
         out_hb, out_x = refs[-2:]
 
         hh = pl.program_id(1)
-        q_h = (qz[0] @ tqW1[0] + tqb1[hh]).reshape(NL, NL, Wt)
-        sc = jnp.stack([jnp.sum(pt[0, k] * q_h, -1) for k in range(K8)],
+        ptk = lambda k: pt[0, k].astype(jnp.float32)
+        q_h = (qz[0].astype(jnp.float32) @ tqW1[0] + tqb1[hh]
+               ).reshape(NL, NL, Wt)
+        sc = jnp.stack([jnp.sum(ptk(k) * q_h, -1) for k in range(K8)],
                        0) * inv_sw                          # [K8,j,i]
         al = _softmax0_unrolled(sc, tv[0])
-        pooled = al[0][..., None] * pt[0, 0]
+        pooled = al[0][..., None] * ptk(0)
         for k in range(1, K8):
-            pooled = pooled + al[k][..., None] * pt[0, k]   # [NL,NL,Wt]
+            pooled = pooled + al[k][..., None] * ptk(k)     # [NL,NL,Wt]
         contrib = (pooled.reshape(NL * NL, Wt) @ toutW[0]
                    ).reshape(NL, NL, H)
 
@@ -924,23 +932,29 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
                        tables: Dict[str, jnp.ndarray], dims: StackDims,
                        interpret: bool = False,
                        merge_node_pre: bool = False,
-                       merge_pos: bool = False):
+                       merge_pos: bool = False,
+                       block_dtype=jnp.float32):
     """Same contract as `layer_stack_xla`, executed as Pallas stage kernels
     per layer (each stage compiled once; every edge/triplet grid stays in
     VMEM). `merge_node_pre` (fused_stack 'pallas3') combines the node and
     triplet-PRE stages into one dispatch — 3 instead of 4 calls/layer;
     `merge_pos` additionally folds the pos update into the attention
-    kernel's last head step (fused_stack 'pallas2' — 2 calls/layer)."""
+    kernel's last head step (fused_stack 'pallas2' — 2 calls/layer).
+    `block_dtype=bfloat16` stores the PRE->ATT inter-stage blocks (pre_t,
+    q_z — the dominant HBM round-trip) in bf16; all in-kernel math stays
+    f32 (config `denoiser.fused_block_dtype`)."""
     L = packed["lin_b"].shape[0]
     N, NL, K, H = dims.N, dims.NL, dims.K, dims.H
     K8, Wt = dims.K8, dims.Wt
+    bdt = block_dtype
 
     if merge_node_pre:
         node_pre_call = _stage_pallas(
             lambda w, t, h_, x_, hb_: _stage_node_pre(w, h_, x_, hb_, t,
                                                       dims),
             _NODE_PRE_W, _NODE_PRE_T, 3,
-            [(N, H), (K8, NL, NL, Wt), (NL * NL, H)], dims, interpret)
+            [(N, H), (K8, NL, NL, Wt), (NL * NL, H)], dims, interpret,
+            out_dtypes=[jnp.float32, bdt, bdt])
     else:
         node_call = _stage_pallas(
             lambda w, t, h_, x_, hb_: _stage_node(w, h_, x_, hb_, t, dims),
@@ -949,7 +963,7 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
             lambda w, t, h_, x_, hb_: _stage_triplet_pre(w, h_, x_, hb_, t,
                                                          dims),
             _TRIP_PRE_W, _TRIP_PRE_T, 3, [(K8, NL, NL, Wt), (NL * NL, H)],
-            dims, interpret)
+            dims, interpret, out_dtypes=[bdt, bdt])
     if merge_pos:
         att_pos_call = _att_pos_pallas(dims, interpret)
     else:

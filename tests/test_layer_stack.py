@@ -68,6 +68,7 @@ def _forward(cfg, batch, key, params=None):
     return params, out
 
 
+@pytest.mark.slow
 def test_fused_xla_matches_frozen_oracle(batch_and_key):
     batch, key = batch_and_key
     cfg_oracle = _setup("none", freeze=True)
@@ -112,6 +113,7 @@ def test_fused_requires_flagship_config(batch_and_key):
         _forward(cfg, batch, key)
 
 
+@pytest.mark.slow
 def test_pallas_interpret_matches_xla(batch_and_key):
     """The Pallas kernel (interpret mode on CPU) vs the packed XLA driver."""
     pytest.importorskip("jax.experimental.pallas")
@@ -134,6 +136,7 @@ def test_pallas_interpret_matches_xla(batch_and_key):
                                    atol=5e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_pallas3_interpret_matches_xla(batch_and_key):
     """The merged node+PRE stage (fused_stack 'pallas3', 3 dispatches per
     layer) vs the packed XLA driver — interpret mode on CPU."""
@@ -155,6 +158,7 @@ def test_pallas3_interpret_matches_xla(batch_and_key):
                                    atol=5e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_pallas2_interpret_matches_xla(batch_and_key):
     """The fully-merged 2-dispatch layer (fused_stack 'pallas2': node+PRE
     merged AND pos folded into the attention kernel's last head step) vs
@@ -177,6 +181,7 @@ def test_pallas2_interpret_matches_xla(batch_and_key):
                                    atol=5e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_fused_stack_inside_sampler_scan(batch_and_key):
     """End-to-end: the fused paths run inside the jitted reverse scan and
     match the standard path through 6 full reverse steps (~1e-5)."""
@@ -205,3 +210,27 @@ def test_fused_stack_inside_sampler_scan(batch_and_key):
     finally:
         ls._FORCE_INTERPRET = False
     np.testing.assert_allclose(pos_xla, pos_pal, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_pallas_bf16_blocks_close_to_f32(batch_and_key):
+    """fused_block_dtype=bfloat16 (PRE->ATT inter-stage blocks in bf16,
+    in-kernel math f32) vs the f32 fused path — bf16-scale tolerance."""
+    pytest.importorskip("jax.experimental.pallas")
+    from phoregen_tpu.ops import layer_stack as ls
+    batch, key = batch_and_key
+    cfg = _setup("pallas2", freeze=False)
+    ls._FORCE_INTERPRET = True
+    try:
+        params, out_f32 = _forward(cfg, batch, key)
+        cfg_b = _setup("pallas2", freeze=False)
+        cfg_b.model.denoiser.fused_block_dtype = "bfloat16"
+        _, out_bf = _forward(cfg_b, batch, key, params=params)
+    finally:
+        ls._FORCE_INTERPRET = False
+    for name, a, b in zip(["node", "pos", "edge"], out_f32, out_bf):
+        if a is None or isinstance(a, tuple):
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() / scale < 0.03, name

@@ -293,6 +293,7 @@ def test_apply_style_pos_dense():
     _check_styles(PosUpdateDense, (h, rel_x, ef, pm), dict(e_w=e_w))
 
 
+@pytest.mark.slow
 def test_apply_style_denoiser_forward():
     """End-to-end: a UniDenoiser forward (covers the triplet tf_kj/tf_q
     split sites, both with and without the kNN source restriction)."""

@@ -164,6 +164,7 @@ def test_triplet_dense_mode_runs():
     assert node.shape == (2, 8, 12) and edge.shape == (2, 8, 8, 6)
 
 
+@pytest.mark.slow
 def test_knn_pool_dtype_follow():
     """triplet_pool_follow_dtype: f32 compute is bit-identical regardless of
     the flag; bf16 compute with the pool following tracks the f32-pool

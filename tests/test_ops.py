@@ -144,6 +144,7 @@ def test_hybrid_neighbors_semantics():
             assert m[b, d].sum() == min(k, int(mask[b].sum()) - 1)
 
 
+@pytest.mark.slow
 def test_hybrid_cutoff_forward():
     """cutoff_mode='hybrid' drives a full forward/loss (closing the last
     `_connect_edge` branch, VERDICT round-2 item 8)."""

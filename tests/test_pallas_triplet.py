@@ -111,6 +111,7 @@ def test_triplet_knn_mode():
     assert not np.allclose(np.asarray(edge), np.asarray(out_full[2]))
 
 
+@pytest.mark.slow
 def test_pos_gradients_finite_all_modes():
     """Regression (round 2): degenerate triplets (k==i -> cross_sq == 0)
     NaN'd d(out)/d(pos) through sqrt/atan2 in every triplet path; invisible
@@ -148,6 +149,7 @@ def test_pos_gradients_finite_all_modes():
     assert np.isfinite(np.asarray(g2)).all()
 
 
+@pytest.mark.slow
 def test_multilayer_model_pos_grads_finite():
     """2-layer denoiser: loss gradients wrt params must be finite (positions
     flow through layer-2 triplet angles; the round-1 code NaN'd here)."""

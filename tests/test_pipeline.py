@@ -60,6 +60,7 @@ def test_generate_outputs(pipeline, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "time_chain.txt"))
 
 
+@pytest.mark.slow
 def test_traj_output(tmp_path):
     """keep_traj writes a multi-frame SDF trajectory for accepted mols."""
     cfg = tiny_config()
@@ -139,6 +140,7 @@ def test_two_batch_shapes_one_pipeline(pipeline):
     assert len(d4) == 4 and len(d1) == 1
 
 
+@pytest.mark.slow
 def test_chunked_sampling_exact_parity():
     """sample_chunked == sample bit-for-bit: same math, same PRNG stream,
     regardless of chunk size (incl. a non-dividing one)."""
@@ -168,6 +170,7 @@ def test_chunked_sampling_exact_parity():
             np.asarray(out["final_state"]["pos"]))
 
 
+@pytest.mark.slow
 def test_chunked_sampling_traj_parity():
     """keep_traj through the chunked path reproduces the single-scan
     trajectory exactly (init frame, every step, final frame)."""
@@ -195,6 +198,7 @@ def test_chunked_sampling_traj_parity():
                                np.asarray(out["traj"]["pos"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mesh_parallel_pool_matches_single():
     """Pool-parallel sampling over an 8-device mesh: identical math to the
     single-device jit (graphs are independent -> zero collectives), and

@@ -203,6 +203,7 @@ def tiny_dense_setup():
     return cfg, pg, batch, params
 
 
+@pytest.mark.slow
 def test_pt_roundtrip_and_forward(tiny_dense_setup, tmp_path):
     cfg, pg, batch, params = tiny_dense_setup
     host = jax.tree_util.tree_map(np.asarray, params)

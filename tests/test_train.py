@@ -80,6 +80,7 @@ def test_lr_get_set_roundtrip():
     assert get_learning_rate(new) == pytest.approx(5e-5)
 
 
+@pytest.mark.slow
 def test_train_step_descends_on_mesh():
     """2 jitted steps on the 8-device mesh: loss finite, params change,
     grad queue advances, EMA tracks."""
@@ -157,6 +158,7 @@ def test_release_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_run_epoch_loop_end_to_end(tmp_path):
     """Full Run.train: 2 epochs on synthetic data, history + checkpoints
     written, resume picks up at epoch 2."""
@@ -251,6 +253,7 @@ def test_train_only_no_valid_split(tmp_path):
     assert os.path.exists(os.path.join(run_dir, "best_model.msgpack"))
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_training():
     """train.dtype=bfloat16: denoiser runs in bf16, master params stay f32,
     loss tracks the f32 loss on the same batch/key, and a step descends.
@@ -292,6 +295,7 @@ def test_bf16_mixed_precision_training():
     assert moved
 
 
+@pytest.mark.slow
 def test_milestone_best_snapshot(tmp_path):
     """Epochs 160/250 copy the current best checkpoint to a named snapshot
     for non-pdbbind runs (reference `run/logger.py:240-242`)."""
@@ -318,6 +322,7 @@ def test_milestone_best_snapshot(tmp_path):
     assert sum(n.startswith("best_model_epoch") for n in names) == 2
 
 
+@pytest.mark.slow
 def test_eval_graph_mask_excludes_duplicates():
     """Cycled tail-batch duplicates contribute exactly zero mass to eval
     metrics: with graph_mask, the metrics are invariant to WHICH sample
