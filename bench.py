@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 # persistent compile cache: the reverse-scan executable is large (unrolled
@@ -40,7 +41,53 @@ def _relay_alive() -> bool:
         return False
 
 
+def _auto_select():
+    """Probe candidate configs in bounded subprocesses and adopt the winner.
+
+    The fused-stack rungs (ops/layer_stack.py) were built against a runtime
+    whose dispatch cost model shifted between rounds; rather than shipping
+    one guess, the bench probes the safe baseline and the fused candidate on
+    THIS hardware (one chip claim per subprocess, strictly sequential,
+    wall-bounded so a hung Mosaic compile or dead chip pool cannot wedge the
+    bench) and runs the final measurement on whichever was faster. Set
+    BENCH_AUTO=0 or any BENCH_FUSED to pin a config instead.
+    """
+    import subprocess
+    candidates = [
+        # (label, env overrides) — first is also the fallback
+        ("none-concat", {"BENCH_FUSED": "none", "BENCH_APPLY": "concat",
+                         "BENCH_SCAN_LAYERS": "0"}),
+        ("pallas3-split", {"BENCH_FUSED": "pallas3", "BENCH_APPLY": "split",
+                           "BENCH_SCAN_LAYERS": "1"}),
+    ]
+    budget = float(os.environ.get("BENCH_PROBE_TIMEOUT", "1500"))
+    best_env, best_val = candidates[0][1], -1.0
+    for label, env_over in candidates:
+        env = dict(os.environ, BENCH_AUTO="0", BENCH_ITERS="1", **env_over)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=budget)
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            val = float(json.loads(line).get("value", 0.0))
+        except Exception:
+            val = 0.0
+        print(f"# probe {label}: {val} mol/s", flush=True)
+        if val > best_val:
+            best_env, best_val = env_over, val
+        time.sleep(5)   # let the subprocess's chip claim release
+    if best_val <= 0.0:
+        return None     # probes all failed -> run in-process fallback
+    os.environ.update(best_env)
+    return best_val
+
+
 def main():
+    if (os.environ.get("BENCH_AUTO", "1") == "1"
+            and "BENCH_FUSED" not in os.environ):
+        _auto_select()
+
     if (os.environ.get("AXON_LOOPBACK_RELAY") == "1"
             and os.environ.get("JAX_PLATFORMS", "") == "axon"
             and not _relay_alive()):
@@ -133,4 +180,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit the one-line JSON contract
+        print(json.dumps({
+            "metric": "sampling_throughput_1000step",
+            "value": 0.0,
+            "unit": "molecules/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        raise SystemExit(1)
