@@ -59,6 +59,8 @@ def _auto_select():
                          "BENCH_SCAN_LAYERS": "0"}),
         ("pallas3-split", {"BENCH_FUSED": "pallas3", "BENCH_APPLY": "split",
                            "BENCH_SCAN_LAYERS": "1"}),
+        ("pallas2-split", {"BENCH_FUSED": "pallas2", "BENCH_APPLY": "split",
+                           "BENCH_SCAN_LAYERS": "1"}),
     ]
     budget = float(os.environ.get("BENCH_PROBE_TIMEOUT", "1500"))
     best_env, best_val = candidates[0][1], -1.0
