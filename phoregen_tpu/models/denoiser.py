@@ -277,23 +277,23 @@ class UniDenoiser(nn.Module):
                        h_bond.astype(jnp.float32))
         bdt = (jnp.bfloat16 if self.fused_block_dtype == "bfloat16"
                else jnp.float32)
+        # Pallas variants go through the custom-VJP wrapper so the fused
+        # stack also works under jax.grad (training): Pallas forward,
+        # XLA-packed-path backward (ops/layer_stack.py
+        # make_layer_stack_grad).
         if self.fused_stack == "pallas":
-            h2, x2, hb2 = ls.layer_stack_pallas(packed, hf, xf, hbf,
-                                                tables, dims,
-                                                block_dtype=bdt)
+            run = ls.make_layer_stack_grad(dims, block_dtype=bdt)
+            h2, x2, hb2 = run(packed, hf, xf, hbf, tables)
         elif self.fused_stack == "pallas3":
             # merged node+triplet-PRE stage: 3 dispatches/layer
-            h2, x2, hb2 = ls.layer_stack_pallas(packed, hf, xf, hbf,
-                                                tables, dims,
-                                                merge_node_pre=True,
-                                                block_dtype=bdt)
+            run = ls.make_layer_stack_grad(dims, merge_node_pre=True,
+                                           block_dtype=bdt)
+            h2, x2, hb2 = run(packed, hf, xf, hbf, tables)
         elif self.fused_stack == "pallas2":
             # + pos folded into the attention epilogue: 2 dispatches/layer
-            h2, x2, hb2 = ls.layer_stack_pallas(packed, hf, xf, hbf,
-                                                tables, dims,
-                                                merge_node_pre=True,
-                                                merge_pos=True,
-                                                block_dtype=bdt)
+            run = ls.make_layer_stack_grad(dims, merge_node_pre=True,
+                                           merge_pos=True, block_dtype=bdt)
+            h2, x2, hb2 = run(packed, hf, xf, hbf, tables)
         elif self.fused_stack == "xla":
             h2, x2, hb2 = ls.layer_stack_xla(packed, hf, xf, hbf, tables,
                                              dims)

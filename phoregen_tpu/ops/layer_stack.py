@@ -987,3 +987,50 @@ def layer_stack_pallas(packed: Dict[str, jnp.ndarray], h, x, hb,
             x = pos_call(w_l, tables, new_h, x, hb)
         h = new_h
     return h, x, hb
+
+
+def make_layer_stack_grad(dims: StackDims, interpret: bool = False,
+                          merge_node_pre: bool = False,
+                          merge_pos: bool = False,
+                          block_dtype=jnp.float32):
+    """Grad-capable fused stack: Pallas kernels forward, XLA-path backward.
+
+    `pallas_call` has no VJP rule for these kernels, so training through
+    `denoiser.fused_stack=pallas*` would fail at trace time. This wrapper
+    makes the fused stack usable under `jax.grad`: the primal runs
+    `layer_stack_pallas` (fast path), and the cotangent recomputes the
+    forward through `layer_stack_xla` — the packing-parity oracle with
+    IDENTICAL math by construction (same packed weights, same tables, same
+    stage algebra) — and pulls back through its VJP. This is the standard
+    rematerialization trade (recompute forward on the backward pass), which
+    training already opts into via `remat_layers`; the saving versus the
+    flax path is the fused forward plus the f32 residuals that never get
+    stored. Cotangents flow to every float input (packed weights, h/x/hb,
+    and the differentiable tables — e_w and phore_norm; the one-hot
+    selection tables receive zeros, matching the frozen-kNN semantics the
+    kernel already imposes via `block_knn_freeze`).
+    """
+
+    def _pallas(packed, h, x, hb, tables):
+        return layer_stack_pallas(packed, h, x, hb, tables, dims,
+                                  interpret=interpret,
+                                  merge_node_pre=merge_node_pre,
+                                  merge_pos=merge_pos,
+                                  block_dtype=block_dtype)
+
+    def _xla(packed, h, x, hb, tables):
+        return layer_stack_xla(packed, h, x, hb, tables, dims)
+
+    @jax.custom_vjp
+    def f(packed, h, x, hb, tables):
+        return _pallas(packed, h, x, hb, tables)
+
+    def fwd(packed, h, x, hb, tables):
+        return _pallas(packed, h, x, hb, tables), (packed, h, x, hb, tables)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(_xla, *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -33,6 +33,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import jax
+
+# the env var alone is NOT enough: the sandbox's sitecustomize registers
+# the axon plugin and pins jax_platforms via config BEFORE this module
+# runs, and explicit config beats env (observed: a 25-min dead-chip claim
+# from this very script). The config update is the authoritative override.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 # v5e peak dense matmul throughput (per chip)

@@ -51,6 +51,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # env var alone is not enough: the sandbox's sitecustomize pins
+    # jax_platforms via config, and explicit config beats env
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from phoregen_tpu.config import default_config

@@ -234,3 +234,49 @@ def test_pallas_bf16_blocks_close_to_f32(batch_and_key):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1.0)
         assert np.abs(a - b).max() / scale < 0.03, name
+
+
+@pytest.mark.slow
+def test_fused_stack_grad_matches_xla(batch_and_key):
+    """The fused Pallas stack works under jax.grad (training): the custom
+    VJP (ops/layer_stack.py make_layer_stack_grad — Pallas forward, XLA
+    packed-path backward) must reproduce the fused_stack='xla' loss AND
+    parameter gradients. Reference training hot path being enabled:
+    /root/reference/run/run.py:106-156 through the fused stack."""
+    from phoregen_tpu.ops import layer_stack as ls
+    batch, key = batch_and_key
+
+    def loss_and_grad(mode, params=None):
+        cfg = _setup(mode, freeze=(mode == "none"))
+        pg = PhoreGen(cfg)
+        if params is None:
+            params = pg.init_params(jax.random.PRNGKey(0), batch)
+
+        def f(p):
+            loss, _ = pg.compute_loss(p, jax.random.PRNGKey(11), batch)
+            return loss
+
+        val, grad = jax.value_and_grad(f)(params)
+        return params, float(val), grad
+
+    params, val_x, grad_x = loss_and_grad("xla")
+    ls._FORCE_INTERPRET = True
+    try:
+        _, val_p, grad_p = loss_and_grad("pallas3", params)
+    finally:
+        ls._FORCE_INTERPRET = False
+    assert abs(val_x - val_p) / max(abs(val_x), 1e-6) < 1e-3
+    fx = jax.tree_util.tree_leaves_with_path(grad_x)
+    fp = jax.tree_util.tree_leaves(grad_p)
+    assert len(fx) == len(fp)
+    worst = []
+    for (path, gx), gp in zip(fx, fp):
+        gx, gp = np.asarray(gx), np.asarray(gp)
+        scale = max(np.abs(gx).max(), 1e-3)
+        rel = np.abs(gx - gp).max() / scale
+        worst.append((rel, jax.tree_util.keystr(path), scale))
+    worst.sort(reverse=True)
+    # the pallas-interpret primal differs from the XLA primal at ~5e-4
+    # (forward parity tolerance); softmax/KL losses amplify that into the
+    # cotangents, so per-leaf grad agreement bottoms out near 1e-3
+    assert worst[0][0] < 5e-3, worst[:5]
