@@ -61,10 +61,19 @@ def _auto_select():
                            "BENCH_SCAN_LAYERS": "1"}),
         ("pallas2-split", {"BENCH_FUSED": "pallas2", "BENCH_APPLY": "split",
                            "BENCH_SCAN_LAYERS": "1"}),
+        # packed-XLA fused stack: no Mosaic surface, so it survives even if
+        # the real TPU compiler rejects the pallas kernels at these shapes
+        ("xla-split", {"BENCH_FUSED": "xla", "BENCH_APPLY": "split",
+                       "BENCH_SCAN_LAYERS": "1"}),
     ]
     budget = float(os.environ.get("BENCH_PROBE_TIMEOUT", "1500"))
+    # user-pinned BENCH_* keys stay pinned: probes and the final adoption
+    # only fill the knobs the caller left unset
+    pinned = {k for k in ("BENCH_APPLY", "BENCH_SCAN_LAYERS")
+              if k in os.environ}
     best_env, best_val = candidates[0][1], -1.0
     for label, env_over in candidates:
+        env_over = {k: v for k, v in env_over.items() if k not in pinned}
         env = dict(os.environ, BENCH_AUTO="0", BENCH_ITERS="1", **env_over)
         try:
             out = subprocess.run(

@@ -127,6 +127,26 @@ def resolve_phore_paths(specs):
     return paths
 
 
+def _check_knn_narrowing(args, trained_knn: int, source: str):
+    """Guard against sampling triplet_knn below the trained value: measured
+    on the round-3 80k flagship to collapse acceptance 42% -> 0/304
+    (BASELINE.md "knn-match finding"). Widening (or exact 0) is safe."""
+    if args.triplet_knn == trained_knn:
+        return
+    narrowing = (args.triplet_knn != 0
+                 and (trained_knn == 0 or args.triplet_knn < trained_knn))
+    if narrowing and not args.force:
+        raise SystemExit(
+            f"[E] sampling triplet_knn={args.triplet_knn} narrows below "
+            f"the {source} triplet_knn={trained_knn}: measured to collapse "
+            f"acceptance (42% -> 0/304, BASELINE.md round 3). Use 0 "
+            f"(exact), K >= trained, or --force to override.")
+    print(f"[W] sampling triplet_knn={args.triplet_knn} != {source} "
+          f"triplet_knn={trained_knn}: quality can collapse when narrowing "
+          f"below the trained K (BASELINE.md round 3); 0 (exact) or "
+          f"K >= trained is safe")
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.platform:
@@ -154,15 +174,8 @@ def main(argv=None):
         from ..utils.torch_import import load_reference_checkpoint
         cfg = load_config(args.config)
         if args.triplet_knn >= 0:
-            trained_knn = cfg.model.denoiser.triplet_knn
-            if (args.triplet_knn != 0
-                    and (trained_knn == 0 or args.triplet_knn < trained_knn)
-                    and not args.force):
-                raise SystemExit(
-                    f"[E] sampling triplet_knn={args.triplet_knn} narrows "
-                    f"below the config triplet_knn={trained_knn} (quality "
-                    f"collapse, BASELINE.md round 3); use 0, K >= trained, "
-                    f"or --force")
+            _check_knn_narrowing(args, cfg.model.denoiser.triplet_knn,
+                                 "config")
             cfg.model.denoiser.triplet_knn = args.triplet_knn
         if args.fused_stack:
             cfg.model.denoiser.fused_stack = args.fused_stack
@@ -187,25 +200,7 @@ def main(argv=None):
     if args.triplet_knn >= 0:
         trained_knn = int(meta["config"]["model"]["denoiser"]
                           .get("triplet_knn", 0))
-        if args.triplet_knn != trained_knn:
-            # measured on the round-3 80k flagship: sampling at knn16 under
-            # knn32-trained weights collapses acceptance 42% -> 0/304
-            # (BASELINE.md "knn-match finding") — widening (or exact 0) is
-            # safe, narrowing below the trained K is not
-            narrowing = (args.triplet_knn != 0
-                         and (trained_knn == 0
-                              or args.triplet_knn < trained_knn))
-            if narrowing and not args.force:
-                raise SystemExit(
-                    f"[E] sampling triplet_knn={args.triplet_knn} narrows "
-                    f"below the trained triplet_knn={trained_knn}: measured "
-                    f"to collapse acceptance (42% -> 0/304, BASELINE.md "
-                    f"round 3). Use 0 (exact), K >= trained, or --force to "
-                    f"override.")
-            print(f"[W] sampling triplet_knn={args.triplet_knn} != trained "
-                  f"triplet_knn={trained_knn}: quality can collapse when "
-                  f"narrowing below the trained K (BASELINE.md round 3); "
-                  f"0 (exact) or K >= trained is safe")
+        _check_knn_narrowing(args, trained_knn, "trained")
         cfg.model.denoiser.triplet_knn = args.triplet_knn
     if args.fused_stack:
         cfg.model.denoiser.fused_stack = args.fused_stack

@@ -770,6 +770,46 @@ def _stage_pallas(stage_fn, w_keys, t_keys, n_arr, out_shapes, dims,
     return call
 
 
+def _rep_spec(shape):
+    """BlockSpec replicating one graph's block across the (b, h) grid."""
+    nd = len(shape)
+    return pl.BlockSpec((1,) + shape[1:],
+                        lambda b, h, nd=nd: (b,) + (0,) * (nd - 1))
+
+
+def _head_att_accumulate(hh, tqW1, tqb1, toutW, toutb, hb, pt, qz, tv,
+                         out_ref, dims: StackDims):
+    """One head's triplet-attention contribution, accumulated in place into
+    `out_ref` across the minor head grid axis (init at hh == 0). Shared by
+    `_att_pallas` and `_att_pos_pallas` — the math must stay identical or
+    the pallas3 and pallas2 rungs silently diverge."""
+    NL, H, Wt, K8 = dims.NL, dims.H, dims.Wt, dims.K8
+    inv_sw = 1.0 / float(np.sqrt(Wt))
+    # inter-stage blocks may arrive bf16 (fused_block_dtype); all math
+    # here stays f32
+    ptk = lambda k: pt[0, k].astype(jnp.float32)
+    # tq_b1 [heads, Wt] can't be blocked per head (sublane block of 1
+    # violates the (8,128) tiling rule); load the row from the full ref
+    q_h = (qz[0].astype(jnp.float32) @ tqW1[0] + tqb1[hh]
+           ).reshape(NL, NL, Wt)
+    sc = jnp.stack([jnp.sum(ptk(k) * q_h, -1) for k in range(K8)],
+                   0) * inv_sw                          # [K8,j,i]
+    al = _softmax0_unrolled(sc, tv[0])
+    pooled = al[0][..., None] * ptk(0)
+    for k in range(1, K8):
+        pooled = pooled + al[k][..., None] * ptk(k)     # [NL,NL,Wt]
+    contrib = (pooled.reshape(NL * NL, Wt) @ toutW[0]
+               ).reshape(NL, NL, H)
+
+    @pl.when(hh == 0)
+    def _init():
+        out_ref[0] = hb[0] + toutb[...] + contrib
+
+    @pl.when(hh != 0)
+    def _acc():
+        out_ref[0] = out_ref[0] + contrib
+
+
 def _att_pallas(dims: StackDims, interpret):
     """Dedicated pallas_call for the triplet head attention: grid
     (B, heads), ONE head per grid step, per-head weight slabs streamed by
@@ -778,42 +818,15 @@ def _att_pallas(dims: StackDims, interpret):
     (init at h==0). Value-level restructurings of the fori_loop variant
     kept 19-24 MB on the Mosaic scoped-VMEM stack; with the head axis in
     the grid each step holds ~1 MB of temporaries."""
-    NL, H, heads, Wt, K8 = dims.NL, dims.H, dims.heads, dims.Wt, dims.K8
-    inv_sw = 1.0 / float(np.sqrt(Wt))
+    NL, H, heads, Wt = dims.NL, dims.H, dims.heads, dims.Wt
 
     def kernel(tqW1, tqb1, toutW, toutb, hb, pt, qz, tv, out):
-        hh = pl.program_id(1)
-        # inter-stage blocks may arrive bf16 (fused_block_dtype); all math
-        # here stays f32
-        ptk = lambda k: pt[0, k].astype(jnp.float32)
-        # tq_b1 [heads, Wt] can't be blocked per head (sublane block of 1
-        # violates the (8,128) tiling rule); load the row from the full ref
-        q_h = (qz[0].astype(jnp.float32) @ tqW1[0] + tqb1[hh]
-               ).reshape(NL, NL, Wt)
-        sc = jnp.stack([jnp.sum(ptk(k) * q_h, -1) for k in range(K8)],
-                       0) * inv_sw                          # [K8,j,i]
-        al = _softmax0_unrolled(sc, tv[0])
-        pooled = al[0][..., None] * ptk(0)
-        for k in range(1, K8):
-            pooled = pooled + al[k][..., None] * ptk(k)     # [NL,NL,Wt]
-        contrib = (pooled.reshape(NL * NL, Wt) @ toutW[0]
-                   ).reshape(NL, NL, H)
-
-        @pl.when(hh == 0)
-        def _init():
-            out[0] = hb[0] + toutb[...] + contrib
-
-        @pl.when(hh != 0)
-        def _acc():
-            out[0] = out[0] + contrib
+        _head_att_accumulate(pl.program_id(1), tqW1, tqb1, toutW, toutb,
+                             hb, pt, qz, tv, out, dims)
 
     def call(w_l, tables, hb, pre_t, q_z):
         B = hb.shape[0]
-
-        def rep(shape):      # same block for every (b, h)
-            nd = len(shape)
-            return pl.BlockSpec((1,) + shape[1:],
-                                lambda b, h, nd=nd: (b,) + (0,) * (nd - 1))
+        rep = _rep_spec
 
         return pl.pallas_call(
             kernel,
@@ -846,9 +859,8 @@ def _att_pos_pallas(dims: StackDims, interpret):
     temporaries are only live in the final head step; the scoped-VMEM
     booking stays under the 96 MB cap because the ATT per-step footprint
     is ~1 MB."""
-    NL, N, H, heads, Wt, K8 = (dims.NL, dims.N, dims.H, dims.heads,
-                               dims.Wt, dims.K8)
-    inv_sw = 1.0 / float(np.sqrt(Wt))
+    NL, N, H, heads = dims.NL, dims.N, dims.H, dims.heads
+    Wt = dims.Wt
     pw = sorted(_POS_W)
     pt_keys = sorted(_POS_T)
     n_pw, n_pt = len(pw), len(pt_keys)
@@ -862,25 +874,8 @@ def _att_pos_pallas(dims: StackDims, interpret):
         out_hb, out_x = refs[-2:]
 
         hh = pl.program_id(1)
-        ptk = lambda k: pt[0, k].astype(jnp.float32)
-        q_h = (qz[0].astype(jnp.float32) @ tqW1[0] + tqb1[hh]
-               ).reshape(NL, NL, Wt)
-        sc = jnp.stack([jnp.sum(ptk(k) * q_h, -1) for k in range(K8)],
-                       0) * inv_sw                          # [K8,j,i]
-        al = _softmax0_unrolled(sc, tv[0])
-        pooled = al[0][..., None] * ptk(0)
-        for k in range(1, K8):
-            pooled = pooled + al[k][..., None] * ptk(k)     # [NL,NL,Wt]
-        contrib = (pooled.reshape(NL * NL, Wt) @ toutW[0]
-                   ).reshape(NL, NL, H)
-
-        @pl.when(hh == 0)
-        def _init():
-            out_hb[0] = hb[0] + toutb[...] + contrib
-
-        @pl.when(hh != 0)
-        def _acc():
-            out_hb[0] = out_hb[0] + contrib
+        _head_att_accumulate(hh, tqW1, tqb1, toutW, toutb,
+                             hb, pt, qz, tv, out_hb, dims)
 
         @pl.when(hh == heads - 1)
         def _pos_epilogue():
@@ -890,11 +885,7 @@ def _att_pos_pallas(dims: StackDims, interpret):
 
     def call(w_l, tables, hb, pre_t, q_z, new_h, x):
         B = hb.shape[0]
-
-        def rep(shape):      # same block for every (b, h)
-            nd = len(shape)
-            return pl.BlockSpec((1,) + shape[1:],
-                                lambda b, h, nd=nd: (b,) + (0,) * (nd - 1))
+        rep = _rep_spec
 
         def w_rep(le):       # full weight array for every (b, h)
             return pl.BlockSpec(le.shape, lambda b, h, nd=le.ndim: (0,) * nd)
@@ -1009,6 +1000,14 @@ def make_layer_stack_grad(dims: StackDims, interpret: bool = False,
     and the differentiable tables — e_w and phore_norm; the one-hot
     selection tables receive zeros, matching the frozen-kNN semantics the
     kernel already imposes via `block_knn_freeze`).
+
+    Scope of the parity claim: exact for `block_dtype=float32` (the config
+    the grad parity test pins). With `fused_block_dtype=bfloat16` the
+    primal quantizes the PRE->ATT inter-stage blocks while the backward
+    recomputes in full f32 — i.e. straight-through-estimator semantics for
+    the block quantization (the ~1e-2-relative forward perturbation is
+    NOT reflected in the cotangents). That is a deliberate, documented
+    approximation, not the identical-math remat.
     """
 
     def _pallas(packed, h, x, hb, tables):

@@ -65,6 +65,7 @@ def main():
     with open(args.ckpt + ".json") as f:
         meta = json.load(f)
 
+    phores = load_real_phores()   # parse the corpus once, not per row
     rows = []
     for knn in args.knns:
         cfg = config_from_dict(meta["config"])
@@ -87,7 +88,7 @@ def main():
                                   chunk_steps=args.chunk_steps,
                                   guidance=guidance)
         for pi in args.phore_indices:
-            phore = load_real_phores()[pi]
+            phore = phores[pi]
             prep = pipe.prepare_phore(phore)
             lower, upper = pipe._count_interval(prep)
             t0 = time.time()

@@ -10,8 +10,8 @@ per rung. Reference hot loop being priced:
   python scripts/stack_ms.py --modes none xla pallas pallas3 pallas2 \
       [--iters 50] [--batch 16] [--knn 8]
 
-Prints one JSON line per mode: {mode, ms_per_iter, fusions, custom_calls,
-total_thunk_est}.
+Prints one JSON line per mode: {mode, ms_per_iter, batch, knn, apply}
+(+ {fusions, custom_calls} from the optimized HLO with --census).
 """
 from __future__ import annotations
 
@@ -49,7 +49,8 @@ def build(mode: str, args):
     cfg.model.denoiser.edge_mlp_apply = args.apply
     cfg.finalize()
     pg = PhoreGen(cfg)
-    samples = synthetic_dataset(0, args.batch, max_atoms=30)
+    samples = synthetic_dataset(0, args.batch,
+                                max_atoms=min(30, args.bucket - 2))
     batch = next(iter(PhoreDataLoader(samples, cfg, args.batch,
                                       shuffle=False)))
     params = pg.init_params(jax.random.PRNGKey(0), batch)
@@ -62,8 +63,9 @@ def build(mode: str, args):
 
     def one_iter(carry, t):
         pos, seed = carry
+        t_b = jnp.full((B,), t, jnp.int32)   # net.apply needs t of shape [B]
         out = pg.net.apply(params, h_node, pos, batch.lig_mask,
-                           h_edge + seed, t, batch.phore_x, batch.phore_pos,
+                           h_edge + seed, t_b, batch.phore_x, batch.phore_pos,
                            batch.phore_norm, batch.phore_mask)
         # thread the pos output back so iterations are data-dependent
         return (out[1], seed), None
