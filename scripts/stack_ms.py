@@ -47,6 +47,7 @@ def build(mode: str, args):
     cfg.model.denoiser.scan_layers = mode != "none"
     cfg.model.denoiser.fused_stack = mode
     cfg.model.denoiser.edge_mlp_apply = args.apply
+    cfg.model.compute_dtype = args.dtype
     cfg.finalize()
     pg = PhoreGen(cfg)
     samples = synthetic_dataset(0, args.batch,
@@ -91,6 +92,11 @@ def main():
     ap.add_argument("--modes", nargs="+",
                     default=["none", "xla", "pallas", "pallas3", "pallas2"])
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batches", type=int, nargs="*", default=None,
+                    help="sweep several batch sizes per mode in ONE chip "
+                         "client (overrides --batch)")
+    ap.add_argument("--dtype", default="float32",
+                    help="model compute dtype (float32|bfloat16)")
     ap.add_argument("--bucket", type=int, default=32)
     ap.add_argument("--knn", type=int, default=8)
     ap.add_argument("--apply", default="split")
@@ -101,11 +107,16 @@ def main():
                          "HLO (slow lower+compile text dump)")
     args = ap.parse_args()
 
+    import copy
+
     import jax
 
     for mode in args.modes:
+      for bsz in (args.batches or [args.batch]):
+        args_b = copy.copy(args)
+        args_b.batch = bsz
         try:
-            fn, pos0 = build(mode, args)
+            fn, pos0 = build(mode, args_b)
             out = fn(pos0)
             jax.block_until_ready(out)        # compile + warm
             t0 = time.perf_counter()
@@ -114,8 +125,9 @@ def main():
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / (args.reps * args.scan_iters)
             row = {"mode": mode, "ms_per_iter": round(dt * 1e3, 3),
-                   "batch": args.batch, "knn": args.knn,
-                   "apply": args.apply}
+                   "batch": bsz, "knn": args.knn,
+                   "apply": args.apply, "dtype": args.dtype,
+                   "mol_per_s_equiv": round(bsz / (dt * 1e3), 3)}
             if args.census:
                 fus, cc = thunk_census(fn, pos0)
                 row.update({"fusions": fus, "custom_calls": cc})
