@@ -54,13 +54,16 @@ def _auto_select():
     """
     import subprocess
     candidates = [
-        # (label, env overrides) — first is also the fallback
+        # (label, env overrides) — first is also the fallback.
+        # Round-4 clean-chip ladder (BASELINE.md): xla2 13.5 ms/iter <
+        # xla 14.7 < none 19.4 << pallas* 44; lead with the winner.
+        ("xla2-bf16", {"BENCH_FUSED": "xla2", "BENCH_APPLY": "split",
+                       "BENCH_SCAN_LAYERS": "1",
+                       "BENCH_BLOCK_DTYPE": "bfloat16"}),
+        ("xla2-split", {"BENCH_FUSED": "xla2", "BENCH_APPLY": "split",
+                        "BENCH_SCAN_LAYERS": "1"}),
         ("none-concat", {"BENCH_FUSED": "none", "BENCH_APPLY": "concat",
                          "BENCH_SCAN_LAYERS": "0"}),
-        ("pallas3-split", {"BENCH_FUSED": "pallas3", "BENCH_APPLY": "split",
-                           "BENCH_SCAN_LAYERS": "1"}),
-        ("pallas2-split", {"BENCH_FUSED": "pallas2", "BENCH_APPLY": "split",
-                           "BENCH_SCAN_LAYERS": "1"}),
         # packed-XLA fused stack: no Mosaic surface, so it survives even if
         # the real TPU compiler rejects the pallas kernels at these shapes
         ("xla-split", {"BENCH_FUSED": "xla", "BENCH_APPLY": "split",
@@ -69,7 +72,8 @@ def _auto_select():
     budget = float(os.environ.get("BENCH_PROBE_TIMEOUT", "1500"))
     # user-pinned BENCH_* keys stay pinned: probes and the final adoption
     # only fill the knobs the caller left unset
-    pinned = {k for k in ("BENCH_APPLY", "BENCH_SCAN_LAYERS")
+    pinned = {k for k in ("BENCH_APPLY", "BENCH_SCAN_LAYERS",
+                          "BENCH_BLOCK_DTYPE")
               if k in os.environ}
     best_env, best_val = candidates[0][1], -1.0
     for label, env_over in candidates:

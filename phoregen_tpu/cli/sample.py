@@ -57,7 +57,8 @@ def parse_args(argv=None):
                         "many steps (identical math/PRNG; for runtimes that "
                         "cap single-execution wall-time; 0 = one scan)")
     p.add_argument("--fused_stack", default="",
-                   choices=["", "none", "xla", "pallas", "pallas3", "pallas2"],
+                   choices=["", "none", "xla", "xla2", "pallas", "pallas3",
+                            "pallas2"],
                    help="override denoiser.fused_stack for sampling (the "
                         "whole-layer-stack kernel, ops/layer_stack.py); "
                         "parameter-compatible with any checkpoint of the "

@@ -108,10 +108,13 @@ class DenoiserConfig:
     use_pallas_triplet: bool = False
     # Fused whole-layer-stack execution for the sampling hot path
     # (ops/layer_stack.py): 'none' (default; per-layer flax modules),
-    # 'xla' (packed-weights scan), 'pallas' (4 Pallas stage kernels per
-    # layer), 'pallas3' (node + triplet-PRE stages merged: 3 dispatches
-    # per layer), 'pallas2' (+ pos update folded into the attention
-    # kernel's last head step: 2 dispatches per layer).
+    # 'xla' (packed-weights scan of the per-graph stage math, vmapped),
+    # 'xla2' (packed-weights scan of the batched-einsum math — fewest
+    # executed thunks per iteration, the round-4 measured winner),
+    # 'pallas' (4 Pallas stage kernels per layer), 'pallas3' (node +
+    # triplet-PRE stages merged: 3 dispatches per layer), 'pallas2'
+    # (+ pos update folded into the attention kernel's last head step:
+    # 2 dispatches per layer).
     # Fused modes freeze the layer-internal kNN index sets per block
     # (block_knn_freeze semantics) and require the flagship configuration.
     fused_stack: str = "none"

@@ -297,6 +297,14 @@ class UniDenoiser(nn.Module):
         elif self.fused_stack == "xla":
             h2, x2, hb2 = ls.layer_stack_xla(packed, hf, xf, hbf, tables,
                                              dims)
+        elif self.fused_stack == "xla2":
+            # batched-einsum driver: fewest executed thunks per iteration
+            # (round-4 clean-chip ladder, BASELINE.md); differentiable.
+            # fused_block_dtype=bfloat16 here means: run the h/hb carries
+            # and feature matmuls in bf16 (positions/softmaxes stay f32).
+            h2, x2, hb2 = ls.layer_stack_xla2(
+                packed, hf, xf, hbf, tables, dims,
+                dtype=bdt if bdt != jnp.float32 else None)
         else:
             raise ValueError(f"unknown fused_stack {self.fused_stack!r}")
         return (h2.astype(h.dtype), x2.astype(x.dtype),

@@ -651,6 +651,240 @@ def layer_stack_xla(packed: Dict[str, jnp.ndarray], h, x, hb,
     return jax.vmap(per_graph, in_axes=(0, 0, 0, 0))(h, x, hb, tables)
 
 
+# --------------------------------------------------------------------------
+# Batched XLA driver ('xla2'): whole-batch einsum formulation
+#
+# The per-graph stage functions above are shaped by Mosaic's constraints
+# (unrolled leading-axis softmaxes, per-K8 slice loops, fori over heads,
+# per-stage recomputation of the shared edge pre-features). None of those
+# constraints bind in XLA — but vmapping the Mosaic-shaped code (the 'xla'
+# driver) inherits its op inflation: ~80 fusions per layer, and on a
+# runtime whose per-iteration cost tracks executed-thunk count (round-4
+# clean-chip ladder, BASELINE.md) the op count IS the time. This driver
+# re-states the same math over [B, ...] tensors with single einsums over
+# heads/K8 and jax.nn-style masked softmaxes, and computes the [B,N*K,4H]
+# knn edge pre-features ONCE per layer (shared between the node and pos
+# stages; splitting it was a scoped-VMEM necessity, not math).
+#
+# Parity oracle: layer_stack_xla (tests/test_layer_stack.py). The only
+# numeric divergence is atan2: jnp.arctan2 here vs the Mosaic polynomial
+# (~1e-5 rad) in the per-graph path.
+# --------------------------------------------------------------------------
+
+def _knn_edge_prefeat_b(w, x, t, d: StackDims):
+    """Batched knn edge features, ALL 4H columns at once.
+
+    Returns (e_pre4 [B,N*K,4H], rel [B,N,K,3])."""
+    B = x.shape[0]
+    N, NL, NP, K = d.N, d.NL, d.NP, d.K
+    _, coeff = gaussian_smearing_offsets(fix_offset=True)
+    offsets = w["rbf_off"]
+    nbr_oh = t["nbr_onehot"]                                # [B,N*K,N]
+
+    x_nbr = (nbr_oh @ x).reshape(B, N, K, 3)
+    rel = x[:, :, None, :] - x_nbr                          # [B,N,K,3]
+    relf = rel.reshape(B, N * K, 3)
+    dist = jnp.sqrt(jnp.sum(relf * relf, -1, keepdims=True) + 1e-12)
+    rbf = jnp.exp(coeff * jnp.square(dist - offsets[None, None, :]))
+    etype = t["edge_type"]                                  # [B,N*K,4]
+
+    pos_l = x[:, NP:]
+    neib = t["lig3_w"] @ pos_l - pos_l                      # [B,NL,3]
+    comb = jnp.concatenate([t["phore_norm"], neib], 1)      # [B,N,3]
+    v1 = (nbr_oh @ comb).reshape(B, N, K, 3)
+    v2 = comb[:, :, None, :]
+    v3 = -rel
+    dire3 = jnp.stack(
+        [jnp.sum(v1 * v2, -1), jnp.sum(v1 * v3, -1), jnp.sum(v2 * v3, -1)],
+        -1).reshape(B, N * K, 3)
+    dire9 = dire3 @ w["dire_W"] + w["dire_b"]
+
+    # edge_feat = [etype (x) rbf (type-major 80) | etype 4 | dire9] @ e_W
+    trbf = (etype[..., None] * rbf[:, :, None, :]).reshape(B, N * K, 80)
+    feat = jnp.concatenate([trbf, etype, dire9], -1)        # [B,N*K,93]
+    feat = feat.astype(w["e_W"].dtype)
+    return feat @ w["e_W"] + w["e_b"], rel
+
+
+def _kv_mlp_b(pre, ln_s, ln_b, i0, i1, W0, b0, W1, b1):
+    """Two fused-first-layer MLP halves: relu(ln(pre half)) @ W + b."""
+    H = pre.shape[-1] // 2
+    k = jax.nn.relu(_ln(pre[..., :H], ln_s[i0], ln_b[i0])) @ W0 + b0
+    v = jax.nn.relu(_ln(pre[..., H:], ln_s[i1], ln_b[i1])) @ W1 + b1
+    return k, v
+
+
+def _layer_math_batched(w, h, x, hb, t, d: StackDims):
+    """One attention layer, whole batch: h [B,N,H], x [B,N,3],
+    hb [B,NL,NL,H] -> (new_h, x_new, hb_new). Same math as _layer_math.
+
+    Mixed precision: h/hb and the packed weights may be bfloat16 while x
+    (geometry) stays float32. Geometry-derived features are cast to the
+    weight dtype at the matmul boundary; softmaxes run in f32 (promotion
+    via the f32 mask term); position increments accumulate in f32."""
+    B = h.shape[0]
+    N, NL, NP, K, K8 = d.N, d.NL, d.NP, d.K, d.K8
+    H, heads, Wt = d.H, d.heads, d.Wt
+    dh = H // heads
+    wdt = h.dtype
+    inv_sd = 1.0 / float(np.sqrt(dh))
+    nbr_oh = t["nbr_onehot"]                                # [B,N*K,N]
+    # exact bf16 copies of the 0/1 selection tables for the h-path matmuls
+    noh_w = t.get("nbr_onehot_w", nbr_oh)
+    nbr_mask = t["nbr_mask"]                                # [B,N,K,1]
+    e_w = t["e_w"].astype(wdt)                              # [B,N*K,1]
+
+    e_pre4, rel = _knn_edge_prefeat_b(w, x, t, d)           # [B,N*K,4H]
+
+    # ---- stage A: node update (knn edges + dense bond grid) ----------
+    nproj_h = h @ w["e_Wn_h"]                               # [B,N,4H]
+    j_h = noh_w @ nproj_h[..., 2 * H:]
+    pre_kv = ((e_pre4[..., :2 * H] + j_h).reshape(B, N, K, 2 * H)
+              + nproj_h[:, :, None, :2 * H])
+    k_n, v_n = _kv_mlp_b(pre_kv, w["e_ln_s"], w["e_ln_b"], 0, 1,
+                         w["e_k2"][0], w["e_b2"][0],
+                         w["e_k2"][1], w["e_b2"][1])        # [B,N,K,H]
+    v_n = v_n * e_w.reshape(B, N, K, 1)
+    q_n = _qmlp(h, w["q_W0"][0], w["q_b0"][0], w["q_ln_s"][0],
+                w["q_ln_b"][0], w["q_W1"][0], w["q_b1"][0])  # [B,N,H]
+    sc = jnp.sum(k_n.reshape(B, N, K, heads, dh)
+                 * q_n.reshape(B, N, 1, heads, dh), -1) * inv_sd
+    al = _softmax_masked(sc, nbr_mask, 2)                   # [B,N,K,heads]
+    out_e = jnp.sum(al[..., None] * v_n.reshape(B, N, K, heads, dh),
+                    2).reshape(B, N, H)
+
+    h_l = h[:, NP:]
+    b_pre = hb @ w["b_W"] + w["b_b"]                        # [B,s,d,2H]
+    nproj_b = h_l @ w["b_Wn"]                               # [B,NL,4H]
+    pre_b = (b_pre + nproj_b[:, None, :, :2 * H]            # h_i = dst
+             + nproj_b[:, :, None, 2 * H:])                 # h_j = src
+    k_b, v_b = _kv_mlp_b(pre_b, w["b_ln_s"], w["b_ln_b"], 0, 1,
+                         w["b_k2"][0], w["b_b2"][0],
+                         w["b_k2"][1], w["b_b2"][1])        # [B,s,d,H]
+    q_b = _qmlp(h_l, w["q_W0"][1], w["q_b0"][1], w["q_ln_s"][1],
+                w["q_ln_b"][1], w["q_W1"][1], w["q_b1"][1])
+    sc_b = jnp.sum(k_b.reshape(B, NL, NL, heads, dh)
+                   * q_b.reshape(B, 1, NL, heads, dh), -1) * inv_sd
+    al_b = _softmax_masked(sc_b, t["pair_mask"], 1)         # [B,s,d,heads]
+    out_b_l = jnp.sum(al_b[..., None]
+                      * v_b.reshape(B, NL, NL, heads, dh), 1
+                      ).reshape(B, NL, H)
+    out_b = jnp.concatenate(
+        [jnp.zeros((B, NP, H), out_b_l.dtype), out_b_l], 1)
+    new_h = h + (out_e + out_b).astype(wdt) @ w["lin_W"] + w["lin_b"]
+
+    # ---- stage B: factorized kNN triplet bond update (uses OLD h) ----
+    _, coeff = gaussian_smearing_offsets(fix_offset=True)
+    bands = [float(f) for f in angular_encoding_freq_bands(d.num_ang)]
+    pos_l = x[:, NP:]
+    rel_l = pos_l[:, :, None, :] - pos_l[:, None, :, :]     # [B,x,i,3]
+    r_feat = jnp.exp(coeff * jnp.square(
+        jnp.sqrt(jnp.sum(rel_l * rel_l, -1, keepdims=True) + 1e-12)
+        - w["rbf_off"][None, None, None, :]))               # [B,x,i,20]
+    r_feat = r_feat.astype(wdt)
+    npj = h_l @ w["t_Wn"]                                   # [B,NL,2Wt]
+    a_kj = (hb @ w["t_Whb"] + r_feat @ w["t_Wr"] + w["t_b"]
+            + npj[:, :, None, :Wt] + npj[:, None, :, Wt:])  # [B,k,j,Wt]
+    a_ji = r_feat @ w["t_Wji"]                              # [B,j,i,Wt]
+    q_pre = (hb @ w["tq_Whb"] + (h_l @ w["tq_Wi"])[:, None, :, :]
+             + w["tq_b0"])                                  # [B,j,i,H]
+    q_z = jax.nn.relu(_ln(q_pre, w["tq_ln_s"], w["tq_ln_b"]))
+
+    selr3 = t["trip_sel_row"].reshape(B, NL, K8, NL)        # [B,j,k,m]
+    selr3_w = t.get("trip_sel_row_w", t["trip_sel_row"]
+                    ).reshape(B, NL, K8, NL)
+    a_kj_sel = jnp.einsum("bjkm,bmjw->bjkw", selr3_w, a_kj)
+    pos_k = jnp.einsum("bjkm,bmc->bjkc", selr3, pos_l)      # [B,j,k,3]
+    rel_ki = pos_k[:, :, :, None, :] - pos_l[:, None, None, :, :]
+    dot = jnp.sum(rel_l[:, :, None, :, :] * rel_ki, -1)     # [B,j,k,i]
+    njsq = jnp.sum(rel_l * rel_l, -1)                       # [B,j,i]
+    nksq = jnp.sum(rel_ki * rel_ki, -1)
+    cross = jnp.sqrt(jnp.clip(njsq[:, :, None, :] * nksq - dot * dot,
+                              CROSS_SQ_EPS, None))
+    angle = jnp.arctan2(cross, dot)
+    enc = jnp.concatenate(
+        [angle[..., None]]
+        + [jnp.sin(angle * f)[..., None] for f in bands]
+        + [jnp.cos(angle * f)[..., None] for f in bands], -1).astype(wdt)
+    pre_t = (a_kj_sel[:, :, :, None, :] + a_ji[:, :, None, :, :]
+             + enc @ w["t_Wang"])                           # [B,j,k,i,Wt]
+    pre_t = jax.nn.relu(_ln(pre_t, w["t_ln_s"], w["t_ln_b"]))
+
+    inv_sw = 1.0 / float(np.sqrt(Wt))
+    q_all = (jnp.einsum("bjih,ahw->bajiw", q_z, w["tq_W1"])
+             + w["tq_b1"][None, :, None, None, :])          # [B,a,j,i,Wt]
+    sc_t = jnp.einsum("bjkiw,bajiw->bajki", pre_t, q_all) * inv_sw
+    maskf = t["trip_valid"].transpose(0, 2, 1, 3)[:, None]  # [B,1,j,k,i]
+    al_t = _softmax_masked(sc_t, maskf, 3)
+    pooled = jnp.einsum("bajki,bjkiw->bajiw", al_t, pre_t).astype(wdt)
+    t_out = (jnp.einsum("bajiw,awh->bjih", pooled, w["t_out_W"])
+             + w["t_out_b"])
+    hb_new = hb + t_out
+
+    # ---- stage C: position update (uses new_h, new hb) ---------------
+    nproj_x = new_h @ w["e_Wn_nh"]                          # [B,N,4H]
+    j_x = noh_w @ nproj_x[..., 2 * H:]
+    pre_x = ((e_pre4[..., 2 * H:] + j_x).reshape(B, N, K, 2 * H)
+             + nproj_x[:, :, None, :2 * H])
+    xk, xv = _kv_mlp_b(pre_x, w["e_ln_s"], w["e_ln_b"], 2, 3,
+                       w["e_xk2"], w["e_xk2b"],
+                       w["e_xv2"], w["e_xv2b"])     # [B,N,K,H], [.,heads]
+    xv = xv * e_w.reshape(B, N, K, 1)
+    xq = _qmlp(new_h, w["q_W0"][2], w["q_b0"][2], w["q_ln_s"][2],
+               w["q_ln_b"][2], w["q_W1"][2], w["q_b1"][2])
+    sc_x = jnp.sum(xk.reshape(B, N, K, heads, dh)
+                   * xq.reshape(B, N, 1, heads, dh), -1) * inv_sd
+    al_x = _softmax_masked(sc_x, nbr_mask, 2)               # [B,N,K,heads]
+    w_e = jnp.sum(al_x * xv, -1, keepdims=True) / heads     # [B,N,K,1]
+    dx_edge = jnp.sum(w_e * rel, 2)                         # [B,N,3]
+
+    nh_l = new_h[:, NP:]
+    pp = hb_new @ w["p_W"] + w["p_b"]
+    nproj_p = nh_l @ w["p_Wn"]
+    pre_p = (pp + nproj_p[:, None, :, :2 * H]
+             + nproj_p[:, :, None, 2 * H:])
+    pk, pv = _kv_mlp_b(pre_p, w["p_ln_s"], w["p_ln_b"], 0, 1,
+                       w["p_xk2"], w["p_xk2b"],
+                       w["p_xv2"], w["p_xv2b"])     # [B,s,d,H], [.,heads]
+    pq = _qmlp(nh_l, w["q_W0"][3], w["q_b0"][3], w["q_ln_s"][3],
+               w["q_ln_b"][3], w["q_W1"][3], w["q_b1"][3])
+    sc_p = jnp.sum(pk.reshape(B, NL, NL, heads, dh)
+                   * pq.reshape(B, 1, NL, heads, dh), -1) * inv_sd
+    al_p = _softmax_masked(sc_p, t["pair_mask"], 1)         # [B,s,d,heads]
+    rel_bond = pos_l[:, None, :, :] - pos_l[:, :, None, :]  # [B,s,d]=d-s
+    w_p = jnp.sum(al_p * pv, -1, keepdims=True) / heads     # [B,s,d,1]
+    dx_bond_l = jnp.sum(w_p * rel_bond, 1)                  # [B,d,3]
+
+    dx = dx_edge + jnp.concatenate(
+        [jnp.zeros((B, NP, 3), x.dtype), dx_bond_l], 1)
+    lig_mask = jnp.concatenate(
+        [jnp.zeros((B, NP, 1), x.dtype), t["mask_l"]], 1)   # [B,N,1]
+    x_new = x + dx * lig_mask
+    return new_h, x_new, hb_new
+
+
+def layer_stack_xla2(packed: Dict[str, jnp.ndarray], h, x, hb,
+                     tables: Dict[str, jnp.ndarray], dims: StackDims,
+                     dtype=None):
+    """Batched-einsum XLA fused stack: lax.scan over layers, no vmap.
+
+    Same signature/semantics as layer_stack_xla; fully differentiable.
+    With dtype=bfloat16 the h/hb carries, packed weights, and feature
+    matmuls run in bf16 (positions and softmaxes stay f32); exact bf16
+    copies of the 0/1 selection tables serve the h-path matmuls so the
+    geometry gathers keep their f32 operands."""
+    if dtype is not None and dtype != jnp.float32:
+        packed = {k: v.astype(dtype) for k, v in packed.items()}
+        h, hb = h.astype(dtype), hb.astype(dtype)
+        tables = dict(tables)
+        tables["nbr_onehot_w"] = tables["nbr_onehot"].astype(dtype)
+        tables["trip_sel_row_w"] = tables["trip_sel_row"].astype(dtype)
+
+    def body(carry, wl):
+        return _layer_math_batched(wl, *carry, tables, dims), None
+
+    (h_o, x_o, hb_o), _ = jax.lax.scan(body, (h, x, hb), packed)
+    return h_o, x_o, hb_o
 
 
 # --------------------------------------------------------------------------

@@ -48,6 +48,7 @@ def build(mode: str, args):
     cfg.model.denoiser.fused_stack = mode
     cfg.model.denoiser.edge_mlp_apply = args.apply
     cfg.model.compute_dtype = args.dtype
+    cfg.model.denoiser.fused_block_dtype = args.block_dtype
     cfg.finalize()
     pg = PhoreGen(cfg)
     samples = synthetic_dataset(0, args.batch,
@@ -97,6 +98,8 @@ def main():
                          "client (overrides --batch)")
     ap.add_argument("--dtype", default="float32",
                     help="model compute dtype (float32|bfloat16)")
+    ap.add_argument("--block_dtype", default="float32",
+                    help="denoiser.fused_block_dtype (xla2: bf16 carries)")
     ap.add_argument("--bucket", type=int, default=32)
     ap.add_argument("--knn", type=int, default=8)
     ap.add_argument("--apply", default="split")

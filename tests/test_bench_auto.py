@@ -25,7 +25,7 @@ def bench(monkeypatch):
     monkeypatch.setattr(mod.time, "sleep", lambda s: None)
     # snapshot the env keys the selector mutates
     for k in ("BENCH_FUSED", "BENCH_APPLY", "BENCH_SCAN_LAYERS",
-              "BENCH_AUTO", "BENCH_ITERS"):
+              "BENCH_BLOCK_DTYPE", "BENCH_AUTO", "BENCH_ITERS"):
         monkeypatch.delenv(k, raising=False)
     return mod
 
@@ -36,6 +36,8 @@ def _fake_run(values_by_fused):
 
     def run(cmd, env=None, capture_output=True, text=True, timeout=None):
         fused = env.get("BENCH_FUSED", "none")
+        if env.get("BENCH_BLOCK_DTYPE") == "bfloat16":
+            fused += "+bf16"
         assert env.get("BENCH_AUTO") == "0", "probe must not recurse"
         assert env.get("BENCH_ITERS") == "1", "probe must be cheap"
         val = values_by_fused[fused]
@@ -52,10 +54,11 @@ def _fake_run(values_by_fused):
 
 def test_auto_select_adopts_fastest(bench, monkeypatch):
     monkeypatch.setattr(subprocess, "run", _fake_run(
-        {"none": 1.0, "pallas3": 3.2, "pallas2": 2.8, "xla": 0.9}))
+        {"none": 1.0, "xla2+bf16": 3.2, "xla2": 2.8, "xla": 0.9}))
     best = bench._auto_select()
     assert best == 3.2
-    assert os.environ["BENCH_FUSED"] == "pallas3"
+    assert os.environ["BENCH_FUSED"] == "xla2"
+    assert os.environ["BENCH_BLOCK_DTYPE"] == "bfloat16"
     assert os.environ["BENCH_APPLY"] == "split"
     assert os.environ["BENCH_SCAN_LAYERS"] == "1"
 
@@ -64,7 +67,7 @@ def test_auto_select_survives_probe_crashes(bench, monkeypatch):
     # Mosaic rejects the pallas kernels (probe timeout/crash) -> the
     # XLA-fused and unfused rows still compete
     monkeypatch.setattr(subprocess, "run", _fake_run(
-        {"none": 1.0, "pallas3": None, "pallas2": None, "xla": 1.7}))
+        {"none": 1.0, "xla2+bf16": None, "xla2": None, "xla": 1.7}))
     best = bench._auto_select()
     assert best == 1.7
     assert os.environ["BENCH_FUSED"] == "xla"
@@ -72,7 +75,7 @@ def test_auto_select_survives_probe_crashes(bench, monkeypatch):
 
 def test_auto_select_all_fail_returns_none(bench, monkeypatch):
     monkeypatch.setattr(subprocess, "run", _fake_run(
-        {"none": None, "pallas3": None, "pallas2": None, "xla": None}))
+        {"none": None, "xla2+bf16": None, "xla2": None, "xla": None}))
     assert bench._auto_select() is None
     # env untouched -> in-process fallback uses the in-file defaults
     assert "BENCH_FUSED" not in os.environ

@@ -280,3 +280,87 @@ def test_fused_stack_grad_matches_xla(batch_and_key):
     # (forward parity tolerance); softmax/KL losses amplify that into the
     # cotangents, so per-leaf grad agreement bottoms out near 1e-3
     assert worst[0][0] < 5e-3, worst[:5]
+
+
+def test_xla2_matches_xla(batch_and_key):
+    """The batched-einsum driver (fused_stack 'xla2', layer_stack_xla2)
+    reproduces the vmapped per-graph driver. Only numeric divergence:
+    jnp.arctan2 here vs the Mosaic atan2 polynomial (~1e-5 rad) in the
+    per-graph path, amplified through the layer stack."""
+    batch, key = batch_and_key
+    cfg_a = _setup("xla", freeze=False)
+    params, out_a = _forward(cfg_a, batch, key)
+    cfg_b = _setup("xla2", freeze=False)
+    _, out_b = _forward(cfg_b, batch, key, params=params)
+    names = ["pred_node", "pred_pos", "pred_edge", "pred_count"]
+    for name, a, b in zip(names, out_a, out_b):
+        if a is None:
+            assert b is None
+            continue
+        if isinstance(a, tuple):
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           rtol=3e-4, atol=3e-4,
+                                           err_msg=name)
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4,
+                                   atol=3e-4, err_msg=name)
+
+
+def test_xla2_grad_matches_xla(batch_and_key):
+    """'xla2' is plain differentiable jnp — training through it must match
+    the 'xla' trainer's loss and parameter gradients."""
+    batch, key = batch_and_key
+
+    def loss_and_grad(mode, params=None):
+        cfg = _setup(mode, freeze=False)
+        pg = PhoreGen(cfg)
+        if params is None:
+            params = pg.init_params(jax.random.PRNGKey(0), batch)
+
+        def f(p):
+            loss, _ = pg.compute_loss(p, jax.random.PRNGKey(11), batch)
+            return loss
+
+        val, grad = jax.value_and_grad(f)(params)
+        return params, float(val), grad
+
+    params, val_x, grad_x = loss_and_grad("xla")
+    _, val_b, grad_b = loss_and_grad("xla2", params)
+    assert abs(val_x - val_b) / max(abs(val_x), 1e-6) < 1e-3
+    fx = jax.tree_util.tree_leaves_with_path(grad_x)
+    fb = jax.tree_util.tree_leaves(grad_b)
+    assert len(fx) == len(fb)
+    worst = []
+    for (path, gx), gb in zip(fx, fb):
+        gx, gb = np.asarray(gx), np.asarray(gb)
+        scale = max(np.abs(gx).max(), 1e-3)
+        rel = np.abs(gx - gb).max() / scale
+        worst.append((rel, jax.tree_util.keystr(path), scale))
+    worst.sort(reverse=True)
+    assert worst[0][0] < 5e-3, worst[:5]
+
+
+def test_xla2_bf16_close_to_f32(batch_and_key):
+    """fused_stack='xla2' with fused_block_dtype=bfloat16 (bf16 carries/
+    matmuls, f32 geometry+softmax) vs the f32 xla2 path — bf16-scale
+    tolerance."""
+    batch, key = batch_and_key
+    cfg_a = _setup("xla2", freeze=False)
+    params, out_a = _forward(cfg_a, batch, key)
+    cfg_b = _setup("xla2", freeze=False)
+    cfg_b.model.denoiser.fused_block_dtype = "bfloat16"
+    _, out_b = _forward(cfg_b, batch, key, params=params)
+    names = ["pred_node", "pred_pos", "pred_edge", "pred_count"]
+    for name, a, b in zip(names, out_a, out_b):
+        if a is None:
+            assert b is None
+            continue
+        if isinstance(a, tuple):
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           rtol=0.08, atol=0.08,
+                                           err_msg=name)
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.08,
+                                   atol=0.08, err_msg=name)
