@@ -71,8 +71,12 @@ def build_block_tables(x, node_mask, nbr_idx, nbr_mask, num_phore: int,
     nbr_oh = jax.nn.one_hot(nbr_idx, N, dtype=dtype)       # [B,N,K,N]
     nbr_oh = nbr_oh * nbr_mask[..., None].astype(dtype)
 
-    # dire 3-NN centroid operator: row-normalized selection [B,NL,NL]
-    lig3_idx, lig3_mask = knn_neighbors(pos_l, mask_l, 3)
+    # ONE ligand kNN serves both the dire 3-NN centroid operator and the
+    # triplet selection: top_k returns neighbours sorted nearest-first, so
+    # the k=3 set is exactly the first 3 columns of the k=max(3,K8) set.
+    kmax = max(3, trip_k)
+    idx_m, mask_m = knn_neighbors(pos_l, mask_l, kmax)
+    lig3_idx, lig3_mask = idx_m[..., :3], mask_m[..., :3]
     w3 = jax.nn.one_hot(lig3_idx, NL, dtype=dtype) \
         * lig3_mask[..., None].astype(dtype)               # [B,NL,3,NL]
     cnt = jnp.maximum(jnp.sum(lig3_mask.astype(dtype), -1), 1.0)
@@ -81,7 +85,7 @@ def build_block_tables(x, node_mask, nbr_idx, nbr_mask, num_phore: int,
     # kNN triplet selection: one-hot over source nodes only ([B,j,K8,m] —
     # the per-j bond-grid gather happens in-kernel as a leading-axis
     # reduce, so no [NL*K8, NL*NL] selection matrix is ever materialized)
-    trip_idx, trip_mask = knn_neighbors(pos_l, mask_l, trip_k)  # [B,NL,K8]
+    trip_idx, trip_mask = idx_m[..., :trip_k], mask_m[..., :trip_k]
     k_oh = jax.nn.one_hot(trip_idx, NL, dtype=dtype)       # [B,j,K8,m]
     sel_row = k_oh.reshape(B, NL * trip_k, NL)             # pos_k gather
 
@@ -236,6 +240,46 @@ def pack_layer_params(raw: Dict[str, Any], hidden: int, fe: int,
     out["dire_b"] = raw["dire_embedding"]["bias"].astype(dtype)
     out["lin_W"] = raw["lin_node"]["kernel"].astype(dtype)
     out["lin_b"] = raw["lin_node"]["bias"].astype(dtype)
+
+    # ---- merged operands for the batched ('xla2') driver ----------------
+    # On this runtime per-iteration cost tracks executed-thunk count, and
+    # every dot is a thunk — so all matmuls sharing an input tensor are
+    # merged into ONE wide dot whose result is sliced (FLOPs are ~1%
+    # utilized; thunks are the currency). dire_embedding is folded into the
+    # edge first layer by associativity: dire9 @ e_W[84:] ==
+    # dire3 @ (dire_W @ e_W[84:]).
+    out["em_W"] = jnp.concatenate(
+        [out["e_W"][:, :84],
+         jnp.einsum("lde,leh->ldh", out["dire_W"], out["e_W"][:, 84:])], 1)
+    out["em_b"] = out["e_b"] + jnp.einsum("le,leh->lh", out["dire_b"],
+                                          out["e_W"][:, 84:])
+    # everything multiplying OLD h (h_l consumers computed on all N rows
+    # and row-sliced after — wasted phore-row FLOPs are free here)
+    out["h_mega"] = jnp.concatenate(
+        [out["e_Wn_h"], out["q_W0"][:, 0], out["q_W0"][:, 1],
+         out["b_Wn"], out["t_Wn"], out["tq_Wi"]], -1)  # [L,H,11H+2Wt]
+    # everything multiplying NEW h
+    out["nh_mega"] = jnp.concatenate(
+        [out["e_Wn_nh"], out["q_W0"][:, 2], out["q_W0"][:, 3],
+         out["p_Wn"]], -1)                             # [L,H,10H]
+    # everything multiplying OLD hb (stage A kv + stage B kj/q)
+    out["hb_mega"] = jnp.concatenate(
+        [out["b_W"], out["t_Whb"], out["tq_Whb"]], -1)  # [L,H,3H+Wt]
+    # both RBF projections of the dense ligand distance grid
+    out["r_mega"] = jnp.concatenate([out["t_Wr"], out["t_Wji"]], -1)
+    # stage-C k/v second layers, stacked like e_k2/b_k2 (the v heads are
+    # zero-padded to H columns so one batched dot serves both halves)
+    pad_v = ((0, 0), (0, 0), (0, H - heads_n))
+    out["x_k2"] = jnp.concatenate(
+        [out["e_xk2"][:, None], jnp.pad(out["e_xv2"], pad_v)[:, None]], 1)
+    out["x_b2"] = jnp.concatenate(
+        [out["e_xk2b"][:, None],
+         jnp.pad(out["e_xv2b"], ((0, 0), (0, H - heads_n)))[:, None]], 1)
+    out["p_k2m"] = jnp.concatenate(
+        [out["p_xk2"][:, None], jnp.pad(out["p_xv2"], pad_v)[:, None]], 1)
+    out["p_b2m"] = jnp.concatenate(
+        [out["p_xk2b"][:, None],
+         jnp.pad(out["p_xv2b"], ((0, 0), (0, H - heads_n)))[:, None]], 1)
     return out
 
 
@@ -674,44 +718,56 @@ def layer_stack_xla(packed: Dict[str, jnp.ndarray], h, x, hb,
 def _knn_edge_prefeat_b(w, x, t, d: StackDims):
     """Batched knn edge features, ALL 4H columns at once.
 
-    Returns (e_pre4 [B,N*K,4H], rel [B,N,K,3])."""
+    Returns (e_pre4 [B,N*K,4H], rel [B,N,K,3]). The x- and comb-gathers
+    share one nbr_onehot dot; the dire projection is pre-folded into the
+    87-wide merged first layer (em_W)."""
     B = x.shape[0]
     N, NL, NP, K = d.N, d.NL, d.NP, d.K
     _, coeff = gaussian_smearing_offsets(fix_offset=True)
     offsets = w["rbf_off"]
     nbr_oh = t["nbr_onehot"]                                # [B,N*K,N]
 
-    x_nbr = (nbr_oh @ x).reshape(B, N, K, 3)
+    pos_l = x[:, NP:]
+    neib = t["lig3_w"] @ pos_l - pos_l                      # [B,NL,3]
+    comb = jnp.concatenate([t["phore_norm"], neib], 1)      # [B,N,3]
+    g = (nbr_oh @ jnp.concatenate([x, comb], -1)).reshape(B, N, K, 6)
+    x_nbr, v1 = g[..., :3], g[..., 3:]
     rel = x[:, :, None, :] - x_nbr                          # [B,N,K,3]
     relf = rel.reshape(B, N * K, 3)
     dist = jnp.sqrt(jnp.sum(relf * relf, -1, keepdims=True) + 1e-12)
     rbf = jnp.exp(coeff * jnp.square(dist - offsets[None, None, :]))
     etype = t["edge_type"]                                  # [B,N*K,4]
 
-    pos_l = x[:, NP:]
-    neib = t["lig3_w"] @ pos_l - pos_l                      # [B,NL,3]
-    comb = jnp.concatenate([t["phore_norm"], neib], 1)      # [B,N,3]
-    v1 = (nbr_oh @ comb).reshape(B, N, K, 3)
     v2 = comb[:, :, None, :]
     v3 = -rel
     dire3 = jnp.stack(
         [jnp.sum(v1 * v2, -1), jnp.sum(v1 * v3, -1), jnp.sum(v2 * v3, -1)],
         -1).reshape(B, N * K, 3)
-    dire9 = dire3 @ w["dire_W"] + w["dire_b"]
 
-    # edge_feat = [etype (x) rbf (type-major 80) | etype 4 | dire9] @ e_W
+    # edge_feat = [etype (x) rbf (type-major 80) | etype 4 | dire3] @ em_W
     trbf = (etype[..., None] * rbf[:, :, None, :]).reshape(B, N * K, 80)
-    feat = jnp.concatenate([trbf, etype, dire9], -1)        # [B,N*K,93]
-    feat = feat.astype(w["e_W"].dtype)
-    return feat @ w["e_W"] + w["e_b"], rel
+    feat = jnp.concatenate([trbf, etype, dire3], -1)        # [B,N*K,87]
+    feat = feat.astype(w["em_W"].dtype)
+    return feat @ w["em_W"] + w["em_b"], rel
 
 
-def _kv_mlp_b(pre, ln_s, ln_b, i0, i1, W0, b0, W1, b1):
-    """Two fused-first-layer MLP halves: relu(ln(pre half)) @ W + b."""
-    H = pre.shape[-1] // 2
-    k = jax.nn.relu(_ln(pre[..., :H], ln_s[i0], ln_b[i0])) @ W0 + b0
-    v = jax.nn.relu(_ln(pre[..., H:], ln_s[i1], ln_b[i1])) @ W1 + b1
-    return k, v
+def _kv_stacked(pre, ln_s2, ln_b2, W2, b2):
+    """Paired k/v second layers as ONE batched dot.
+
+    pre [..., 2H] (first H = k half), ln params [2, H], W2 [2, H, G],
+    b2 [2, G]. Returns [..., 2, G] (slot 0 = k, slot 1 = v)."""
+    pre2 = pre.reshape(pre.shape[:-1] + (2, pre.shape[-1] // 2))
+    z = jax.nn.relu(_ln(pre2, ln_s2, ln_b2))
+    return jnp.einsum("...th,thg->...tg", z, W2) + b2
+
+
+def _q_stacked(z2, ln_s2, ln_b2, W1_2, b1_2):
+    """Paired query-MLP tails (post first-layer) as ONE batched dot.
+
+    z2 [..., 2, H] = the two q first-layer outputs (bias already added),
+    ln/W1/b1 stacked [2, ...]. Returns [..., 2, H]."""
+    z = jax.nn.relu(_ln(z2, ln_s2, ln_b2))
+    return jnp.einsum("...th,thg->...tg", z, W1_2) + b1_2
 
 
 def _layer_math_batched(w, h, x, hb, t, d: StackDims):
@@ -737,32 +793,39 @@ def _layer_math_batched(w, h, x, hb, t, d: StackDims):
     e_pre4, rel = _knn_edge_prefeat_b(w, x, t, d)           # [B,N*K,4H]
 
     # ---- stage A: node update (knn edges + dense bond grid) ----------
-    nproj_h = h @ w["e_Wn_h"]                               # [B,N,4H]
+    # ONE mega-dot for every consumer of old h (node-knn projections,
+    # both q first layers, bond projections, triplet kj/q projections);
+    # h_l consumers are computed on all N rows and row-sliced.
+    hm = h @ w["h_mega"]                        # [B,N,11H+2Wt]
+    nproj_h = hm[..., :4 * H]
     j_h = noh_w @ nproj_h[..., 2 * H:]
     pre_kv = ((e_pre4[..., :2 * H] + j_h).reshape(B, N, K, 2 * H)
               + nproj_h[:, :, None, :2 * H])
-    k_n, v_n = _kv_mlp_b(pre_kv, w["e_ln_s"], w["e_ln_b"], 0, 1,
-                         w["e_k2"][0], w["e_b2"][0],
-                         w["e_k2"][1], w["e_b2"][1])        # [B,N,K,H]
-    v_n = v_n * e_w.reshape(B, N, K, 1)
-    q_n = _qmlp(h, w["q_W0"][0], w["q_b0"][0], w["q_ln_s"][0],
-                w["q_ln_b"][0], w["q_W1"][0], w["q_b1"][0])  # [B,N,H]
+    kv_n = _kv_stacked(pre_kv, w["e_ln_s"][0:2], w["e_ln_b"][0:2],
+                       w["e_k2"], w["e_b2"])                # [B,N,K,2,H]
+    k_n = kv_n[..., 0, :]
+    v_n = kv_n[..., 1, :] * e_w.reshape(B, N, K, 1)
+    q01_pre = hm[..., 4 * H:6 * H].reshape(B, N, 2, H) + w["q_b0"][0:2]
+    q01 = _q_stacked(q01_pre, w["q_ln_s"][0:2], w["q_ln_b"][0:2],
+                     w["q_W1"][0:2], w["q_b1"][0:2])        # [B,N,2,H]
+    q_n = q01[:, :, 0]
     sc = jnp.sum(k_n.reshape(B, N, K, heads, dh)
                  * q_n.reshape(B, N, 1, heads, dh), -1) * inv_sd
     al = _softmax_masked(sc, nbr_mask, 2)                   # [B,N,K,heads]
     out_e = jnp.sum(al[..., None] * v_n.reshape(B, N, K, heads, dh),
                     2).reshape(B, N, H)
 
-    h_l = h[:, NP:]
-    b_pre = hb @ w["b_W"] + w["b_b"]                        # [B,s,d,2H]
-    nproj_b = h_l @ w["b_Wn"]                               # [B,NL,4H]
+    # ONE mega-dot for every consumer of old hb (bond kv first layer,
+    # triplet kj and q projections)
+    hbm = hb @ w["hb_mega"]                     # [B,s,d,3H+Wt]
+    b_pre = hbm[..., :2 * H] + w["b_b"]                     # [B,s,d,2H]
+    nproj_b = hm[:, NP:, 6 * H:10 * H]                      # [B,NL,4H]
     pre_b = (b_pre + nproj_b[:, None, :, :2 * H]            # h_i = dst
              + nproj_b[:, :, None, 2 * H:])                 # h_j = src
-    k_b, v_b = _kv_mlp_b(pre_b, w["b_ln_s"], w["b_ln_b"], 0, 1,
-                         w["b_k2"][0], w["b_b2"][0],
-                         w["b_k2"][1], w["b_b2"][1])        # [B,s,d,H]
-    q_b = _qmlp(h_l, w["q_W0"][1], w["q_b0"][1], w["q_ln_s"][1],
-                w["q_ln_b"][1], w["q_W1"][1], w["q_b1"][1])
+    kv_b = _kv_stacked(pre_b, w["b_ln_s"], w["b_ln_b"],
+                       w["b_k2"], w["b_b2"])                # [B,s,d,2,H]
+    k_b, v_b = kv_b[..., 0, :], kv_b[..., 1, :]
+    q_b = q01[:, NP:, 1]
     sc_b = jnp.sum(k_b.reshape(B, NL, NL, heads, dh)
                    * q_b.reshape(B, 1, NL, heads, dh), -1) * inv_sd
     al_b = _softmax_masked(sc_b, t["pair_mask"], 1)         # [B,s,d,heads]
@@ -782,11 +845,13 @@ def _layer_math_batched(w, h, x, hb, t, d: StackDims):
         jnp.sqrt(jnp.sum(rel_l * rel_l, -1, keepdims=True) + 1e-12)
         - w["rbf_off"][None, None, None, :]))               # [B,x,i,20]
     r_feat = r_feat.astype(wdt)
-    npj = h_l @ w["t_Wn"]                                   # [B,NL,2Wt]
-    a_kj = (hb @ w["t_Whb"] + r_feat @ w["t_Wr"] + w["t_b"]
+    npj = hm[:, NP:, 10 * H:10 * H + 2 * Wt]                # [B,NL,2Wt]
+    rproj = r_feat @ w["r_mega"]                            # [B,x,i,2Wt]
+    a_kj = (hbm[..., 2 * H:2 * H + Wt] + rproj[..., :Wt] + w["t_b"]
             + npj[:, :, None, :Wt] + npj[:, None, :, Wt:])  # [B,k,j,Wt]
-    a_ji = r_feat @ w["t_Wji"]                              # [B,j,i,Wt]
-    q_pre = (hb @ w["tq_Whb"] + (h_l @ w["tq_Wi"])[:, None, :, :]
+    a_ji = rproj[..., Wt:]                                  # [B,j,i,Wt]
+    q_pre = (hbm[..., 2 * H + Wt:]
+             + hm[:, None, NP:, 10 * H + 2 * Wt:]
              + w["tq_b0"])                                  # [B,j,i,H]
     q_z = jax.nn.relu(_ln(q_pre, w["tq_ln_s"], w["tq_ln_b"]))
 
@@ -822,32 +887,35 @@ def _layer_math_batched(w, h, x, hb, t, d: StackDims):
     hb_new = hb + t_out
 
     # ---- stage C: position update (uses new_h, new hb) ---------------
-    nproj_x = new_h @ w["e_Wn_nh"]                          # [B,N,4H]
+    # ONE mega-dot for every consumer of new_h; v heads are zero-padded
+    # to H columns inside x_k2/p_k2m so each kv pair is one batched dot.
+    nhm = new_h @ w["nh_mega"]                  # [B,N,10H]
+    nproj_x = nhm[..., :4 * H]
     j_x = noh_w @ nproj_x[..., 2 * H:]
     pre_x = ((e_pre4[..., 2 * H:] + j_x).reshape(B, N, K, 2 * H)
              + nproj_x[:, :, None, :2 * H])
-    xk, xv = _kv_mlp_b(pre_x, w["e_ln_s"], w["e_ln_b"], 2, 3,
-                       w["e_xk2"], w["e_xk2b"],
-                       w["e_xv2"], w["e_xv2b"])     # [B,N,K,H], [.,heads]
-    xv = xv * e_w.reshape(B, N, K, 1)
-    xq = _qmlp(new_h, w["q_W0"][2], w["q_b0"][2], w["q_ln_s"][2],
-               w["q_ln_b"][2], w["q_W1"][2], w["q_b1"][2])
+    kv_x = _kv_stacked(pre_x, w["e_ln_s"][2:4], w["e_ln_b"][2:4],
+                       w["x_k2"], w["x_b2"])                # [B,N,K,2,H]
+    xk = kv_x[..., 0, :]
+    xv = kv_x[..., 1, :heads] * e_w.reshape(B, N, K, 1)
+    q23_pre = nhm[..., 4 * H:6 * H].reshape(B, N, 2, H) + w["q_b0"][2:4]
+    q23 = _q_stacked(q23_pre, w["q_ln_s"][2:4], w["q_ln_b"][2:4],
+                     w["q_W1"][2:4], w["q_b1"][2:4])        # [B,N,2,H]
+    xq = q23[:, :, 0]
     sc_x = jnp.sum(xk.reshape(B, N, K, heads, dh)
                    * xq.reshape(B, N, 1, heads, dh), -1) * inv_sd
     al_x = _softmax_masked(sc_x, nbr_mask, 2)               # [B,N,K,heads]
     w_e = jnp.sum(al_x * xv, -1, keepdims=True) / heads     # [B,N,K,1]
     dx_edge = jnp.sum(w_e * rel, 2)                         # [B,N,3]
 
-    nh_l = new_h[:, NP:]
     pp = hb_new @ w["p_W"] + w["p_b"]
-    nproj_p = nh_l @ w["p_Wn"]
+    nproj_p = nhm[:, NP:, 6 * H:]                           # [B,NL,4H]
     pre_p = (pp + nproj_p[:, None, :, :2 * H]
              + nproj_p[:, :, None, 2 * H:])
-    pk, pv = _kv_mlp_b(pre_p, w["p_ln_s"], w["p_ln_b"], 0, 1,
-                       w["p_xk2"], w["p_xk2b"],
-                       w["p_xv2"], w["p_xv2b"])     # [B,s,d,H], [.,heads]
-    pq = _qmlp(nh_l, w["q_W0"][3], w["q_b0"][3], w["q_ln_s"][3],
-               w["q_ln_b"][3], w["q_W1"][3], w["q_b1"][3])
+    kv_p = _kv_stacked(pre_p, w["p_ln_s"], w["p_ln_b"],
+                       w["p_k2m"], w["p_b2m"])              # [B,s,d,2,H]
+    pk, pv = kv_p[..., 0, :], kv_p[..., 1, :heads]
+    pq = q23[:, NP:, 1]
     sc_p = jnp.sum(pk.reshape(B, NL, NL, heads, dh)
                    * pq.reshape(B, 1, NL, heads, dh), -1) * inv_sd
     al_p = _softmax_masked(sc_p, t["pair_mask"], 1)         # [B,s,d,heads]

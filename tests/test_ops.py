@@ -26,6 +26,23 @@ def test_knn_neighbors_masked():
         assert (idx[0, i] != i).all()
 
 
+def test_knn_prefix_property():
+    """knn(k=a) must equal the first a columns of knn(k=b) for a <= b —
+    build_block_tables builds ONE ligand kNN and slices the dire 3-NN set
+    out of the triplet K8 set on the strength of this (lax.top_k sorts
+    nearest-first with deterministic tie-breaking)."""
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.normal(size=(3, 12, 3)), jnp.float32)
+    mask = jnp.asarray(rng.random((3, 12)) > 0.25)
+    idx8, m8 = knn_neighbors(pos, mask, 8)
+    for a in (1, 3, 5):
+        idx_a, m_a = knn_neighbors(pos, mask, a)
+        np.testing.assert_array_equal(np.asarray(idx_a),
+                                      np.asarray(idx8[..., :a]))
+        np.testing.assert_array_equal(np.asarray(m_a),
+                                      np.asarray(m8[..., :a]))
+
+
 def test_radius_neighbors_cutoff():
     pos = jnp.asarray([[[0., 0, 0], [1., 0, 0], [5., 0, 0]]])
     mask = jnp.ones((1, 3), bool)
