@@ -92,7 +92,7 @@ class UniDenoiser(nn.Module):
 
     @nn.compact
     def __call__(self, h, x, h_bond, node_mask, phore_norm=None,
-                 num_phore: int = 0):
+                 num_phore: int = 0, fused_packed=None):
         """
         Args:
           h: [B, N, H] composed features ([phore; ligand]).
@@ -100,6 +100,12 @@ class UniDenoiser(nn.Module):
           h_bond: [B, NL, NL, H] dense ligand bond hidden state (src, dst).
           node_mask: [B, N] composed validity.
           phore_norm: [B, NP, 3] unit feature-direction vectors.
+          fused_packed: optional precomputed `pack_fused()` output. Packing
+            is pure weight algebra (merged-operand concats/folds) and is
+            LOOP-INVARIANT through a reverse process, but XLA does not hoist
+            its concatenates out of a lax.scan — the sampler computes it
+            once outside the scan and passes it here (measured ~3 ms/iter
+            on the round-4 chip otherwise).
         Returns dict(x, h, h_bond).
         """
         B, N, H = h.shape
@@ -206,7 +212,7 @@ class UniDenoiser(nn.Module):
             if self.fused_stack != "none" and not self.is_initializing():
                 h, x, h_bond = self._apply_fused_stack(
                     h, x, h_bond, node_mask, mask_l, nbr_idx, nbr_mask,
-                    edge_type, e_w, phore_norm, NP)
+                    edge_type, e_w, phore_norm, NP, packed=fused_packed)
                 continue
 
             if self.scan_layers:
@@ -233,8 +239,22 @@ class UniDenoiser(nn.Module):
                                          trip_frozen=trip)
         return {"x": x, "h": h, "h_bond": h_bond}
 
+    def pack_fused(self):
+        """Pack (and operand-merge) the stacked layer weights for the fused
+        drivers — callable once outside a sampling scan via
+        `net.apply(params, method="pack_fused")` so the merged-weight
+        concats/einsums execute once per pool instead of once per reverse
+        step. Returns None when no fused stack is configured."""
+        if self.fused_stack == "none":
+            return None
+        from ..ops import layer_stack as ls
+        raw = self.variables["params"]["layers"]["layer"]
+        fe = self.num_r_gaussian * self.edge_feat_dim + self.edge_feat_dim + 9
+        return ls.pack_layer_params(raw, self.hidden_dim, fe)
+
     def _apply_fused_stack(self, h, x, h_bond, node_mask, mask_l, nbr_idx,
-                           nbr_mask, edge_type, e_w, phore_norm, NP):
+                           nbr_mask, edge_type, e_w, phore_norm, NP,
+                           packed=None):
         """Run the whole layer stack through ops/layer_stack.py (packed
         weights read from this module's own stacked params). Requires the
         flagship configuration; raises otherwise."""
@@ -264,7 +284,8 @@ class UniDenoiser(nn.Module):
                             H=self.hidden_dim, heads=self.n_heads,
                             Wt=self.triplet_width)
         fe = self.num_r_gaussian * self.edge_feat_dim + self.edge_feat_dim + 9
-        packed = ls.pack_layer_params(raw, self.hidden_dim, fe)
+        if packed is None:
+            packed = ls.pack_layer_params(raw, self.hidden_dim, fe)
         tables = ls.build_block_tables(x, node_mask, nbr_idx, nbr_mask, NP,
                                        self.triplet_knn)
         tables["edge_type"] = edge_type.astype(jnp.float32

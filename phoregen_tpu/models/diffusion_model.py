@@ -134,9 +134,15 @@ class PhoreDiffNet(nn.Module):
         h_p = self.embed_phore(phore_x, phore_pos, phore_mask)
         return self.predict_atom_count(h_p, phore_x, phore_mask)
 
+    def pack_fused(self):
+        """Precompute the denoiser's packed/merged fused-stack weights (see
+        `UniDenoiser.pack_fused`) — loop-invariant during sampling, hoisted
+        out of the reverse scan by the sampler like `embed_phore`."""
+        return self.denoiser.pack_fused()
+
     def __call__(self, h_node_pert, pos_pert, lig_mask, h_edge_pert,
                  t, phore_x, phore_pos, phore_norm, phore_mask,
-                 h_phore_emb=None, compute_count=True):
+                 h_phore_emb=None, compute_count=True, fused_packed=None):
         """
         Args:
           h_node_pert: [B, NL, Ka] perturbed atom one-hots.
@@ -197,7 +203,8 @@ class PhoreDiffNet(nn.Module):
         node_mask = jnp.concatenate([phore_mask, lig_mask], axis=1)
 
         outputs = self.denoiser(h_all, pos_all, h_edge, node_mask,
-                                phore_norm=phore_norm, num_phore=NP)
+                                phore_norm=phore_norm, num_phore=NP,
+                                fused_packed=fused_packed)
 
         final_pos = outputs["x"][:, NP:]
         final_h = outputs["h"][:, NP:]

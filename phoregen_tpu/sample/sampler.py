@@ -252,6 +252,10 @@ class Sampler:
         h_phore_const = pg.net.apply(
             net_params, phore_x_c, phore_pos_c, batch.phore_mask,
             method="embed_phore")
+        # the fused-stack packed/merged weights are equally loop-invariant;
+        # pack ONCE here (XLA does not hoist the merged-operand concats out
+        # of the scan on its own — measured ~3 ms/iter on the round-4 chip)
+        fused_packed_const = pg.net.apply(net_params, method="pack_fused")
 
         discrete = pg.categorical_space == "discrete"
 
@@ -317,7 +321,7 @@ class Sampler:
                 net_params, h_node_pert, pos_pert, lmask,
                 h_edge_pert, t, phore_x_c, phore_pos_c, phore_norm_c,
                 batch.phore_mask, h_phore_emb=h_phore_const,
-                compute_count=False)
+                compute_count=False, fused_packed=fused_packed_const)
             pred_node = pred_node.astype(jnp.float32)
             pred_pos = pred_pos.astype(jnp.float32)
             if pred_edge is not None:

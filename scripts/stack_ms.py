@@ -56,6 +56,9 @@ def build(mode: str, args):
     batch = next(iter(PhoreDataLoader(samples, cfg, args.batch,
                                       shuffle=False)))
     params = pg.init_params(jax.random.PRNGKey(0), batch)
+    # packed/merged weights are loop-invariant: hoist them outside the scan
+    # exactly like the real sampler does (sample/sampler.py _reverse_parts)
+    fused_packed = pg.net.apply(params, method="pack_fused")
     B, NL = batch.lig_type.shape
     rng = np.random.default_rng(0)
     h_node = jnp.asarray(rng.normal(size=(B, NL, NUM_ATOM_CLASSES)),
@@ -68,7 +71,8 @@ def build(mode: str, args):
         t_b = jnp.full((B,), t, jnp.int32)   # net.apply needs t of shape [B]
         out = pg.net.apply(params, h_node, pos, batch.lig_mask,
                            h_edge + seed, t_b, batch.phore_x, batch.phore_pos,
-                           batch.phore_norm, batch.phore_mask)
+                           batch.phore_norm, batch.phore_mask,
+                           fused_packed=fused_packed)
         # thread the pos output back so iterations are data-dependent
         return (out[1], seed), None
 
