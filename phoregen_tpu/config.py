@@ -110,11 +110,16 @@ class DenoiserConfig:
     # (ops/layer_stack.py): 'none' (default; per-layer flax modules),
     # 'xla' (packed-weights scan of the per-graph stage math, vmapped),
     # 'xla2' (packed-weights scan of the batched-einsum math — fewest
-    # executed thunks per iteration, the round-4 measured winner),
-    # 'pallas' (4 Pallas stage kernels per layer), 'pallas3' (node +
-    # triplet-PRE stages merged: 3 dispatches per layer), 'pallas2'
-    # (+ pos update folded into the attention kernel's last head step:
-    # 2 dispatches per layer).
+    # executed thunks per iteration, the round-4 measured winner:
+    # 13.4 ms/iter vs 19.4 unfused at the bench shape).
+    # 'pallas' (4 Pallas stage kernels per layer) is the direct-hardware
+    # experiment candidate — MEASURED 3x SLOWER (44 ms/iter) than xla2 on
+    # this runtime: Mosaic executes its per-(graph,head) grid steps
+    # sequentially (BASELINE.md round-4 ladder). Its dispatch-reduction
+    # variants 'pallas3'/'pallas2' are equally slow (the cost is grid
+    # shape, not call count) and are kept only for measurement
+    # reproducibility — do not deploy any pallas rung without measuring
+    # on your runtime first.
     # Fused modes freeze the layer-internal kNN index sets per block
     # (block_knn_freeze semantics) and require the flagship configuration.
     fused_stack: str = "none"

@@ -239,6 +239,25 @@ class UniDenoiser(nn.Module):
                                          trip_frozen=trip)
         return {"x": x, "h": h, "h_bond": h_bond}
 
+    def _check_fused_config(self):
+        """The packed-weight layout hard-codes the flagship configuration
+        (edge-feature split [4x20 RBF | 4 type | 9 dire], scan'd stack,
+        factorized kNN triplets); raise a descriptive error otherwise."""
+        required = dict(scan_layers=self.scan_layers, norm=self.norm,
+                        direction_match=self.direction_match,
+                        include_h_node=self.h_node_in_bond_net,
+                        factorized=self.triplet_mode == "factorized",
+                        triplet_knn=self.triplet_knn > 0,
+                        no_x2h_out_fc=not self.x2h_out_fc,
+                        use_global_ew=self.use_global_ew,
+                        num_r_gaussian_20=self.num_r_gaussian == 20,
+                        edge_feat_dim_4=self.edge_feat_dim == 4)
+        missing = [k for k, v in required.items() if not v]
+        if missing:
+            raise ValueError(
+                f"denoiser.fused_stack={self.fused_stack!r} requires the "
+                f"flagship configuration; unmet: {missing}")
+
     def pack_fused(self):
         """Pack (and operand-merge) the stacked layer weights for the fused
         drivers — callable once outside a sampling scan via
@@ -247,6 +266,7 @@ class UniDenoiser(nn.Module):
         step. Returns None when no fused stack is configured."""
         if self.fused_stack == "none":
             return None
+        self._check_fused_config()
         from ..ops import layer_stack as ls
         raw = self.variables["params"]["layers"]["layer"]
         fe = self.num_r_gaussian * self.edge_feat_dim + self.edge_feat_dim + 9
@@ -260,34 +280,24 @@ class UniDenoiser(nn.Module):
         flagship configuration; raises otherwise."""
         from ..ops import layer_stack as ls
 
-        required = dict(scan_layers=self.scan_layers, norm=self.norm,
-                        direction_match=self.direction_match,
-                        include_h_node=self.h_node_in_bond_net,
-                        factorized=self.triplet_mode == "factorized",
-                        triplet_knn=self.triplet_knn > 0,
-                        no_x2h_out_fc=not self.x2h_out_fc,
-                        use_global_ew=self.use_global_ew,
-                        # the packed-weight layout hard-codes the flagship
-                        # edge-feature split [4x20 RBF | 4 type | 9 dire]
-                        num_r_gaussian_20=self.num_r_gaussian == 20,
-                        edge_feat_dim_4=self.edge_feat_dim == 4)
-        missing = [k for k, v in required.items() if not v]
-        if missing:
-            raise ValueError(
-                f"denoiser.fused_stack={self.fused_stack!r} requires the "
-                f"flagship configuration; unmet: {missing}")
+        self._check_fused_config()
         B, N, H = h.shape
         NL = N - NP
         K = nbr_idx.shape[-1]
         raw = self.variables["params"]["layers"]["layer"]
-        dims = ls.StackDims(NP=NP, NL=NL, K=K, K8=self.triplet_knn,
+        # A ligand node has at most NL-1 neighbours; ops/knn.py clamps its
+        # top_k the same way, so K8 > NL-1 would only desync the table
+        # reshapes (caught at NL=32 with the knn32 flagship). Exact: the
+        # dropped slots are always masked.
+        k8 = min(self.triplet_knn, NL - 1)
+        dims = ls.StackDims(NP=NP, NL=NL, K=K, K8=k8,
                             H=self.hidden_dim, heads=self.n_heads,
                             Wt=self.triplet_width)
         fe = self.num_r_gaussian * self.edge_feat_dim + self.edge_feat_dim + 9
         if packed is None:
             packed = ls.pack_layer_params(raw, self.hidden_dim, fe)
         tables = ls.build_block_tables(x, node_mask, nbr_idx, nbr_mask, NP,
-                                       self.triplet_knn)
+                                       k8)
         tables["edge_type"] = edge_type.astype(jnp.float32
                                                ).reshape(B, N * K, 4)
         tables["e_w"] = (e_w.astype(jnp.float32) if e_w is not None
@@ -325,7 +335,8 @@ class UniDenoiser(nn.Module):
             # and feature matmuls in bf16 (positions/softmaxes stay f32).
             h2, x2, hb2 = ls.layer_stack_xla2(
                 packed, hf, xf, hbf, tables, dims,
-                dtype=bdt if bdt != jnp.float32 else None)
+                dtype=bdt if bdt != jnp.float32 else None,
+                remat=self.remat_layers)
         else:
             raise ValueError(f"unknown fused_stack {self.fused_stack!r}")
         return (h2.astype(h.dtype), x2.astype(x.dtype),

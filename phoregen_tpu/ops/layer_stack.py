@@ -65,6 +65,9 @@ def build_block_tables(x, node_mask, nbr_idx, nbr_mask, num_phore: int,
     B, N, K = nbr_idx.shape
     NP = num_phore
     NL = N - NP
+    # knn_neighbors clamps k to NL-1 (no self-edges); mirror that here so
+    # the reshape widths below agree with the returned column count.
+    trip_k = min(trip_k, NL - 1)
     mask_l = node_mask[:, NP:]
     pos_l = x[:, NP:]
 
@@ -248,11 +251,13 @@ def pack_layer_params(raw: Dict[str, Any], hidden: int, fe: int,
     # utilized; thunks are the currency). dire_embedding is folded into the
     # edge first layer by associativity: dire9 @ e_W[84:] ==
     # dire3 @ (dire_W @ e_W[84:]).
+    fe_base = fe - 9  # non-dire edge-feature rows (84 at flagship fe=93)
     out["em_W"] = jnp.concatenate(
-        [out["e_W"][:, :84],
-         jnp.einsum("lde,leh->ldh", out["dire_W"], out["e_W"][:, 84:])], 1)
+        [out["e_W"][:, :fe_base],
+         jnp.einsum("lde,leh->ldh", out["dire_W"], out["e_W"][:, fe_base:])],
+        1)
     out["em_b"] = out["e_b"] + jnp.einsum("le,leh->lh", out["dire_b"],
-                                          out["e_W"][:, 84:])
+                                          out["e_W"][:, fe_base:])
     # everything multiplying OLD h (h_l consumers computed on all N rows
     # and row-sliced after — wasted phore-row FLOPs are free here)
     out["h_mega"] = jnp.concatenate(
@@ -933,23 +938,34 @@ def _layer_math_batched(w, h, x, hb, t, d: StackDims):
 
 def layer_stack_xla2(packed: Dict[str, jnp.ndarray], h, x, hb,
                      tables: Dict[str, jnp.ndarray], dims: StackDims,
-                     dtype=None):
+                     dtype=None, remat: bool = False):
     """Batched-einsum XLA fused stack: lax.scan over layers, no vmap.
 
     Same signature/semantics as layer_stack_xla; fully differentiable.
     With dtype=bfloat16 the h/hb carries, packed weights, and feature
     matmuls run in bf16 (positions and softmaxes stay f32); exact bf16
     copies of the 0/1 selection tables serve the h-path matmuls so the
-    geometry gathers keep their f32 operands."""
+    geometry gathers keep their f32 operands. remat=True rematerializes
+    each layer in the backward pass (training: the per-layer edge/triplet
+    grids otherwise all live until the backward sweep)."""
     if dtype is not None and dtype != jnp.float32:
-        packed = {k: v.astype(dtype) for k, v in packed.items()}
+        # rbf_off is a geometric constant (Gaussian-smearing centers): the
+        # distance subtraction re-promotes to f32, so casting it would only
+        # quantize the center values (~0.4%) for zero speed — keep it f32.
+        packed = {k: (v if k == "rbf_off" else v.astype(dtype))
+                  for k, v in packed.items()}
         h, hb = h.astype(dtype), hb.astype(dtype)
         tables = dict(tables)
         tables["nbr_onehot_w"] = tables["nbr_onehot"].astype(dtype)
         tables["trip_sel_row_w"] = tables["trip_sel_row"].astype(dtype)
 
+    math_fn = _layer_math_batched
+    if remat:
+        math_fn = jax.checkpoint(_layer_math_batched,
+                                 static_argnums=(5,), prevent_cse=False)
+
     def body(carry, wl):
-        return _layer_math_batched(wl, *carry, tables, dims), None
+        return math_fn(wl, *carry, tables, dims), None
 
     (h_o, x_o, hb_o), _ = jax.lax.scan(body, (h, x, hb), packed)
     return h_o, x_o, hb_o

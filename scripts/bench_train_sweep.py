@@ -28,7 +28,17 @@ import jax
 import numpy as np
 
 CONFIGS = {
-    # name: (bucket, batch, use_pallas, triplet_knn, dtype)
+    # name: (bucket, batch, use_pallas, triplet_knn, dtype[, fused_stack])
+    # round-5 training-throughput ladder (VERDICT r4 item 6): the xla2
+    # merged-operand restatement under grad, at the flagship train shapes
+    "nl48_b16_knn32_bf16": (48, 16, False, 32, "bfloat16"),
+    "nl48_b16_knn32_bf16_xla2": (48, 16, False, 32, "bfloat16", "xla2"),
+    "nl48_b16_knn32_bf16_xla": (48, 16, False, 32, "bfloat16", "xla"),
+    "nl32_b16_knn32_bf16": (32, 16, False, 32, "bfloat16"),
+    "nl32_b16_knn32_bf16_xla2": (32, 16, False, 32, "bfloat16", "xla2"),
+    "nl64_b16_knn32_bf16_xla2": (64, 16, False, 32, "bfloat16", "xla2"),
+    "nl80_b16_knn32_bf16_xla2": (80, 16, False, 32, "bfloat16", "xla2"),
+    "nl80_b8_knn32_bf16_xla2": (80, 8, False, 32, "bfloat16", "xla2"),
     "nl32_xla_f32": (32, 8, False, 0, "float32"),
     "nl32_pallas_f32": (32, 8, True, 0, "float32"),
     "nl32_xla_bf16": (32, 8, False, 0, "bfloat16"),
@@ -46,7 +56,8 @@ CONFIGS = {
 }
 
 
-def bench_one(name, bucket, batch, use_pallas, knn, dtype, n_steps=12):
+def bench_one(name, bucket, batch, use_pallas, knn, dtype,
+              fused_stack="none", n_steps=12):
     from phoregen_tpu.config import default_config
     from phoregen_tpu.data.loader import PhoreDataLoader
     from phoregen_tpu.data.synthetic import synthetic_dataset
@@ -59,6 +70,7 @@ def bench_one(name, bucket, batch, use_pallas, knn, dtype, n_steps=12):
     cfg.dataset.max_phore = 32
     cfg.model.denoiser.use_pallas_triplet = use_pallas
     cfg.model.denoiser.triplet_knn = knn
+    cfg.model.denoiser.fused_stack = fused_stack
     cfg.train.dtype = dtype
     cfg.finalize()
 

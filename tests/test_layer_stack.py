@@ -90,6 +90,20 @@ def test_fused_xla_matches_frozen_oracle(batch_and_key):
                                    atol=2e-4, err_msg=name)
 
 
+def test_fused_xla2_trip_k_at_bucket_width(batch_and_key):
+    """Regression: triplet_knn >= NL (knn32 flagship sampling into the
+    NL=32 bucket). knn_neighbors clamps k to NL-1, so the fused tables
+    must clamp the same way instead of desyncing the reshape widths."""
+    batch, key = batch_and_key
+    cfg_oracle = _setup("none", freeze=True, trip_k=16)  # NL = bucket = 16
+    params, out_oracle = _forward(cfg_oracle, batch, key)
+    cfg_fused = _setup("xla2", freeze=False, trip_k=16)
+    _, out_fused = _forward(cfg_fused, batch, key, params=params)
+    np.testing.assert_allclose(np.asarray(out_oracle[1]),
+                               np.asarray(out_fused[1]),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_frozen_oracle_differs_only_slightly_from_exact(batch_and_key):
     """block_knn_freeze changes only which neighbour SETS feed dire/triplet;
     on one forward the drift must be small relative to activations."""
