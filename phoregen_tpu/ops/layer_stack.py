@@ -231,6 +231,15 @@ def pack_layer_params(raw: Dict[str, Any], hidden: int, fe: int,
                     .reshape(L, H, n_heads_t, Wt_)
                     .transpose(0, 2, 1, 3))                 # [L,h,H,Wt]
     out["tq_b1"] = tq[5].astype(dtype).reshape(L, n_heads_t, Wt_)
+    # flat (w, a)-minor layouts for the batched 'xla2' driver: the query
+    # projection becomes ONE [B*j*i, H] @ [H, Wt*heads] dot and the output
+    # projection ONE [B*j*i, heads*Wt] @ [heads*Wt, H] dot (no head-major
+    # 5-D einsums, which lower to convolutions + layout copies on TPU)
+    out["tq_W1f"] = (tq[4].astype(dtype).reshape(L, H, n_heads_t, Wt_)
+                     .transpose(0, 1, 3, 2).reshape(L, H, Wt_ * n_heads_t))
+    out["tq_b1f"] = (tq[5].astype(dtype).reshape(L, n_heads_t, Wt_)
+                     .transpose(0, 2, 1))                   # [L,Wt,heads]
+    out["t_out_Wf"] = bond["tf_out"]["kernel"].astype(dtype)  # [L,a*Wt,H]
 
     offsets, _ = gaussian_smearing_offsets(fix_offset=True)
     L = raw["lin_node"]["bias"].shape[0]
@@ -775,6 +784,12 @@ def _q_stacked(z2, ln_s2, ln_b2, W1_2, b1_2):
     return jnp.einsum("...th,thg->...tg", z, W1_2) + b1_2
 
 
+# measurement-only ablation switch (scripts/stage_ablation.py): a frozenset
+# of stage names whose work _layer_math_batched skips at TRACE time. Never
+# set outside attribution experiments.
+_ABLATE_BATCHED: frozenset = frozenset()
+
+
 def _layer_math_batched(w, h, x, hb, t, d: StackDims):
     """One attention layer, whole batch: h [B,N,H], x [B,N,3],
     hb [B,NL,NL,H] -> (new_h, x_new, hb_new). Same math as _layer_math.
@@ -795,13 +810,49 @@ def _layer_math_batched(w, h, x, hb, t, d: StackDims):
     nbr_mask = t["nbr_mask"]                                # [B,N,K,1]
     e_w = t["e_w"].astype(wdt)                              # [B,N*K,1]
 
-    e_pre4, rel = _knn_edge_prefeat_b(w, x, t, d)           # [B,N*K,4H]
+    if "prefeat" in _ABLATE_BATCHED:
+        e_pre4 = jnp.zeros((B, N * K, 4 * H), wdt)
+        rel = jnp.zeros((B, N, K, 3), jnp.float32)
+    else:
+        e_pre4, rel = _knn_edge_prefeat_b(w, x, t, d)       # [B,N*K,4H]
 
     # ---- stage A: node update (knn edges + dense bond grid) ----------
     # ONE mega-dot for every consumer of old h (node-knn projections,
     # both q first layers, bond projections, triplet kj/q projections);
     # h_l consumers are computed on all N rows and row-sliced.
     hm = h @ w["h_mega"]                        # [B,N,11H+2Wt]
+    # ONE mega-dot for every consumer of old hb (bond kv first layer,
+    # triplet kj and q projections)
+    hbm = hb @ w["hb_mega"]                     # [B,s,d,3H+Wt]
+    if "stageA" in _ABLATE_BATCHED:
+        new_h = h
+        q01 = jnp.zeros((B, N, 2, H), wdt)
+    else:
+        new_h, q01 = _stage_a(w, h, hm, hbm, noh_w, e_pre4, e_w, t, d)
+
+    # ---- stage B: factorized kNN triplet bond update (uses OLD h) ----
+    if "stageB" in _ABLATE_BATCHED:
+        hb_new = hb
+    else:
+        hb_new = hb + _stage_b(w, hm, hbm, x, t, d)
+
+    # ---- stage C: position update (uses new_h, new hb) ---------------
+    if "stageC" in _ABLATE_BATCHED:
+        x_new = x
+    else:
+        x_new = _stage_c(w, new_h, x, hb_new, noh_w, e_pre4, e_w, rel,
+                         t, d)
+    return new_h, x_new, hb_new
+
+
+def _stage_a(w, h, hm, hbm, noh_w, e_pre4, e_w, t, d: StackDims):
+    B = h.shape[0]
+    N, NL, NP, K = d.N, d.NL, d.NP, d.K
+    H, heads = d.H, d.heads
+    dh = H // heads
+    wdt = h.dtype
+    inv_sd = 1.0 / float(np.sqrt(dh))
+    nbr_mask = t["nbr_mask"]
     nproj_h = hm[..., :4 * H]
     j_h = noh_w @ nproj_h[..., 2 * H:]
     pre_kv = ((e_pre4[..., :2 * H] + j_h).reshape(B, N, K, 2 * H)
@@ -820,9 +871,6 @@ def _layer_math_batched(w, h, x, hb, t, d: StackDims):
     out_e = jnp.sum(al[..., None] * v_n.reshape(B, N, K, heads, dh),
                     2).reshape(B, N, H)
 
-    # ONE mega-dot for every consumer of old hb (bond kv first layer,
-    # triplet kj and q projections)
-    hbm = hb @ w["hb_mega"]                     # [B,s,d,3H+Wt]
     b_pre = hbm[..., :2 * H] + w["b_b"]                     # [B,s,d,2H]
     nproj_b = hm[:, NP:, 6 * H:10 * H]                      # [B,NL,4H]
     pre_b = (b_pre + nproj_b[:, None, :, :2 * H]            # h_i = dst
@@ -840,8 +888,16 @@ def _layer_math_batched(w, h, x, hb, t, d: StackDims):
     out_b = jnp.concatenate(
         [jnp.zeros((B, NP, H), out_b_l.dtype), out_b_l], 1)
     new_h = h + (out_e + out_b).astype(wdt) @ w["lin_W"] + w["lin_b"]
+    return new_h, q01
 
-    # ---- stage B: factorized kNN triplet bond update (uses OLD h) ----
+
+def _stage_b(w, hm, hbm, x, t, d: StackDims):
+    """Factorized kNN triplet bond update (uses OLD h via hm/hbm).
+    Returns the hb increment [B,NL,NL,H]."""
+    B = hm.shape[0]
+    NL, NP, K8 = d.NL, d.NP, d.K8
+    H, heads, Wt = d.H, d.heads, d.Wt
+    wdt = hm.dtype
     _, coeff = gaussian_smearing_offsets(fix_offset=True)
     bands = [float(f) for f in angular_encoding_freq_bands(d.num_ang)]
     pos_l = x[:, NP:]
@@ -865,35 +921,59 @@ def _layer_math_batched(w, h, x, hb, t, d: StackDims):
                     ).reshape(B, NL, K8, NL)
     a_kj_sel = jnp.einsum("bjkm,bmjw->bjkw", selr3_w, a_kj)
     pos_k = jnp.einsum("bjkm,bmc->bjkc", selr3, pos_l)      # [B,j,k,3]
-    rel_ki = pos_k[:, :, :, None, :] - pos_l[:, None, None, :, :]
-    dot = jnp.sum(rel_l[:, :, None, :, :] * rel_ki, -1)     # [B,j,k,i]
+    # flat (b,j,i)-major geometry (k is the second-minor axis everywhere
+    # below, so the attention contractions are layout-clean batched dots)
+    rel_ki = pos_k[:, :, None, :, :] - pos_l[:, None, :, None, :]
+    dot = jnp.sum(rel_l[:, :, :, None, :] * rel_ki, -1)     # [B,j,i,k]
     njsq = jnp.sum(rel_l * rel_l, -1)                       # [B,j,i]
     nksq = jnp.sum(rel_ki * rel_ki, -1)
-    cross = jnp.sqrt(jnp.clip(njsq[:, :, None, :] * nksq - dot * dot,
+    cross = jnp.sqrt(jnp.clip(njsq[..., None] * nksq - dot * dot,
                               CROSS_SQ_EPS, None))
-    angle = jnp.arctan2(cross, dot)
-    enc = jnp.concatenate(
-        [angle[..., None]]
-        + [jnp.sin(angle * f)[..., None] for f in bands]
-        + [jnp.cos(angle * f)[..., None] for f in bands], -1).astype(wdt)
-    pre_t = (a_kj_sel[:, :, :, None, :] + a_ji[:, :, None, :, :]
-             + enc @ w["t_Wang"])                           # [B,j,k,i,Wt]
+    angle = jnp.arctan2(cross, dot)                         # [B,j,i,k]
+    if "stageB_enc" in _ABLATE_BATCHED:
+        enc_term = jnp.zeros(angle.shape + (Wt,), wdt)
+    else:
+        # one sin + one cos over the stacked frequency bands (the per-band
+        # formulation cost ~0.65 ms/iter in sine/cosine DUS fusions)
+        ab = angle[..., None] * jnp.asarray(bands, angle.dtype)
+        enc = jnp.concatenate(
+            [angle[..., None], jnp.sin(ab), jnp.cos(ab)], -1).astype(wdt)
+        enc_term = enc @ w["t_Wang"]
+    pre_t = (a_kj_sel[:, :, None, :, :] + a_ji[:, :, :, None, :]
+             + enc_term)                                    # [B,j,i,k,Wt]
     pre_t = jax.nn.relu(_ln(pre_t, w["t_ln_s"], w["t_ln_b"]))
 
+    if "stageB_att" in _ABLATE_BATCHED:
+        return jnp.einsum("bjikw,wh->bjih", pre_t / K8,
+                          w["t_out_Wf"][:Wt]) + w["t_out_b"]
     inv_sw = 1.0 / float(np.sqrt(Wt))
-    q_all = (jnp.einsum("bjih,ahw->bajiw", q_z, w["tq_W1"])
-             + w["tq_b1"][None, :, None, None, :])          # [B,a,j,i,Wt]
-    sc_t = jnp.einsum("bjkiw,bajiw->bajki", pre_t, q_all) * inv_sw
-    maskf = t["trip_valid"].transpose(0, 2, 1, 3)[:, None]  # [B,1,j,k,i]
+    # ONE 2-D dot for all heads' queries ([B*j*i, H] @ [H, Wt*heads]);
+    # scores/pool are (b,j,i)-batched [k,w]x[w,a] / [k,a]x[k,w] contractions
+    q_f = ((q_z @ w["tq_W1f"]).reshape(B, NL, NL, Wt, heads)
+           + w["tq_b1f"])                                   # [B,j,i,w,a]
+    sc_t = jnp.einsum("bjikw,bjiwa->bjika", pre_t, q_f) * inv_sw
+    maskf = t["trip_valid"].transpose(0, 2, 3, 1)[..., None]  # [B,j,i,k,1]
     al_t = _softmax_masked(sc_t, maskf, 3)
-    pooled = jnp.einsum("bajki,bjkiw->bajiw", al_t, pre_t).astype(wdt)
-    t_out = (jnp.einsum("bajiw,awh->bjih", pooled, w["t_out_W"])
+    pooled = jnp.einsum("bjika,bjikw->bjiaw", al_t, pre_t).astype(wdt)
+    # ONE 2-D dot folding the heads back to H ([B*j*i, a*Wt] @ [a*Wt, H])
+    t_out = (pooled.reshape(B, NL, NL, heads * Wt) @ w["t_out_Wf"]
              + w["t_out_b"])
-    hb_new = hb + t_out
+    return t_out
 
-    # ---- stage C: position update (uses new_h, new hb) ---------------
-    # ONE mega-dot for every consumer of new_h; v heads are zero-padded
-    # to H columns inside x_k2/p_k2m so each kv pair is one batched dot.
+
+def _stage_c(w, new_h, x, hb_new, noh_w, e_pre4, e_w, rel, t,
+             d: StackDims):
+    """Position update (uses new_h, new hb). Returns x_new [B,N,3].
+
+    ONE mega-dot for every consumer of new_h; v heads are zero-padded
+    to H columns inside x_k2/p_k2m so each kv pair is one batched dot."""
+    B = new_h.shape[0]
+    N, NL, NP, K = d.N, d.NL, d.NP, d.K
+    H, heads = d.H, d.heads
+    dh = H // heads
+    inv_sd = 1.0 / float(np.sqrt(dh))
+    nbr_mask = t["nbr_mask"]
+    pos_l = x[:, NP:]
     nhm = new_h @ w["nh_mega"]                  # [B,N,10H]
     nproj_x = nhm[..., :4 * H]
     j_x = noh_w @ nproj_x[..., 2 * H:]
@@ -932,8 +1012,7 @@ def _layer_math_batched(w, h, x, hb, t, d: StackDims):
         [jnp.zeros((B, NP, 3), x.dtype), dx_bond_l], 1)
     lig_mask = jnp.concatenate(
         [jnp.zeros((B, NP, 1), x.dtype), t["mask_l"]], 1)   # [B,N,1]
-    x_new = x + dx * lig_mask
-    return new_h, x_new, hb_new
+    return x + dx * lig_mask
 
 
 def layer_stack_xla2(packed: Dict[str, jnp.ndarray], h, x, hb,
