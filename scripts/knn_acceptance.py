@@ -67,6 +67,7 @@ def main():
 
     phores = load_real_phores()   # parse the corpus once, not per row
     rows = []
+    eval_acc = None
     for knn in args.knns:
         cfg = config_from_dict(meta["config"])
         cfg.dataset.ligand_buckets = [32, 48, 64, 80]
@@ -81,6 +82,13 @@ def main():
             next(iter(PhoreDataLoader(tmpl, cfg, 8, shuffle=False))))
         state, _ = load_checkpoint(args.ckpt,
                                    create_train_state(cfg.train, params))
+        if eval_acc is None:
+            # once, at the first (sampling-time) knn config: discriminative
+            # per-element accuracies (VERDICT r4 item 7; utils/evalacc.py)
+            from phoregen_tpu.utils.evalacc import eval_accuracies
+            eval_acc = eval_accuracies(pg, cfg, state.params)
+            print(f"[knn_acceptance] eval accuracies: {eval_acc}",
+                  flush=True)
         guidance = [GuidanceOpt(type="atom_prox", min_d=1.0, max_d=3.0),
                     GuidanceOpt(type="center_prox")]
         pipe = GenerationPipeline(pg, state.params, batch_size=args.batch,
@@ -134,7 +142,8 @@ def main():
             print(json.dumps(row), flush=True)
             with open(args.out, "w") as f:
                 json.dump({"rows": rows, "ckpt": args.ckpt,
-                           "pool": args.pool}, f, indent=1)
+                           "pool": args.pool, "eval_acc": eval_acc},
+                          f, indent=1)
 
     print(f"[knn_acceptance] wrote {args.out} ({len(rows)} rows)")
 

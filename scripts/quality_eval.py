@@ -99,6 +99,9 @@ def main():
                     help="save the quick-trained state to this checkpoint "
                          "prefix (reusable via --ckpt on later runs; "
                          "empty = don't save)")
+    ap.add_argument("--eval_acc_batches", type=int, default=4,
+                    help="held-out batches for the per-element accuracy "
+                         "meta block (0 = skip; ckpt runs only)")
     ap.add_argument("--out", default="")
     ap.add_argument("--skip", default="",
                     help="comma-separated phore names to skip (follow-up "
@@ -132,6 +135,7 @@ def main():
     pg = PhoreGen(cfg)
 
     weights_src = args.ckpt or f"quick-train synthetic x{args.train_steps}"
+    eval_acc = None
     if args.ckpt:
         from phoregen_tpu.train.checkpoint import load_checkpoint
         from phoregen_tpu.train.state import create_train_state
@@ -142,6 +146,11 @@ def main():
         state, _ = load_checkpoint(args.ckpt,
                                    create_train_state(cfg.train, params))
         params = state.params
+        if args.eval_acc_batches > 0:
+            from phoregen_tpu.utils.evalacc import eval_accuracies
+            eval_acc = eval_accuracies(pg, cfg, params,
+                                       n_batches=args.eval_acc_batches)
+            print(f"[quality_eval] eval accuracies: {eval_acc}", flush=True)
     else:
         # quick-train the flagship on the synthetic chain corpus so the
         # sampler has non-random posteriors to work with
@@ -262,6 +271,9 @@ def main():
         "overall_validity_pct": round(100.0 * acc / max(att, 1), 1),
         "overall_accepted": acc,
         "total_seconds": round(time.time() - t_start, 1),
+        # discriminative per-element accuracies of the loaded weights on
+        # held-out eval batches (VERDICT r4 item 7; utils/evalacc.py)
+        "eval_acc": eval_acc,
         "per_phore": per_phore,
     }
     with open(out_path, "w") as f:
