@@ -63,6 +63,12 @@ def parse_args(argv=None):
                         "whole-layer-stack kernel, ops/layer_stack.py); "
                         "parameter-compatible with any checkpoint of the "
                         "flagship architecture")
+    p.add_argument("--fused_block_dtype", default="",
+                   choices=["", "float32", "bfloat16"],
+                   help="dtype of the fused-stack carries/weights/feature "
+                        "matmuls (geometry and softmaxes stay f32). "
+                        "bfloat16 measured -15% ms/iter on v5e with the "
+                        "round-5 flat stage-B layout (BASELINE.md)")
     p.add_argument("--time_budget", type=float, default=0.0,
                    help="per-phore wall-time budget in seconds (0 = none): "
                         "abandon after the current batch, keeping accepted "
@@ -180,6 +186,8 @@ def main(argv=None):
             cfg.model.denoiser.triplet_knn = args.triplet_knn
         if args.fused_stack:
             cfg.model.denoiser.fused_stack = args.fused_stack
+        if args.fused_block_dtype:
+            cfg.model.denoiser.fused_block_dtype = args.fused_block_dtype
         if args.edge_mlp_apply:
             cfg.model.denoiser.edge_mlp_apply = args.edge_mlp_apply
         pg = PhoreGen(cfg)
@@ -205,6 +213,8 @@ def main(argv=None):
         cfg.model.denoiser.triplet_knn = args.triplet_knn
     if args.fused_stack:
         cfg.model.denoiser.fused_stack = args.fused_stack
+    if args.fused_block_dtype:
+        cfg.model.denoiser.fused_block_dtype = args.fused_block_dtype
     if args.edge_mlp_apply:
         cfg.model.denoiser.edge_mlp_apply = args.edge_mlp_apply
 
