@@ -109,7 +109,7 @@ commit_artifacts "FRAG_AB_r05: connectivity-guidance A/B (adopted w=$FRAG_W)" \
 #    all three knn values.
 run_stage knn_accept 4200 \
     python scripts/knn_acceptance.py --ckpt release/flagship_r3 \
-        --knns 16 32 0 --pool 48 --batch 16 --phore_indices 0 1 2 3 \
+        --knns 32 16 0 --pool 48 --batch 16 --phore_indices 0 1 2 3 \
         --time_budget 900 --out KNN_ACCEPT_r05.json
 commit_artifacts "KNN_ACCEPT_r05: evidence-grade kNN acceptance table" \
     KNN_ACCEPT_r05.json
