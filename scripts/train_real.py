@@ -46,6 +46,11 @@ def flagship_config(args):
     cfg.train.dtype = args.dtype
     cfg.model.denoiser.triplet_knn = args.triplet_knn
     cfg.model.denoiser.remat_layers = True
+    if getattr(args, "fused_stack", ""):
+        # xla2-under-grad training (rematerialized per layer; parity vs the
+        # module path pinned by tests/test_layer_stack.py::
+        # test_xla2_grad_matches_xla). Requires scan_layers (flagship).
+        cfg.model.denoiser.fused_stack = args.fused_stack
     if getattr(args, "stage2", False):
         # stage-2 fine-tune shape (reference
         # `configs/train_dock-cpx-phore.yml:59-67`: complex-scale pairs,
@@ -64,6 +69,10 @@ def main():
     ap.add_argument("--chunk_samples", type=int, default=8192)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--triplet_knn", type=int, default=32)
+    ap.add_argument("--fused_stack", default="",
+                    help="denoiser.fused_stack for the train step ('' = "
+                         "per-layer flax modules; 'xla2' = the batched-"
+                         "einsum fused stack under grad)")
     ap.add_argument("--out", default="/tmp/train_real")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--warm_start", default="",
