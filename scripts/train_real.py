@@ -57,7 +57,7 @@ def flagship_config(args):
         # smaller batch, frozen positions per `run/run.py:216`)
         ds.ligand_buckets = [80]
         cfg.train.freeze_pos = True
-        cfg.train.lr = min(cfg.train.lr, 5e-5)
+        cfg.train.optimizer.lr = min(cfg.train.optimizer.lr, 5e-5)
     cfg.finalize()
     return cfg
 
