@@ -143,7 +143,10 @@ def main():
         start_step = int(meta.get("step", 0))
         log(f"resumed from step {start_step}")
 
-    step_fn = make_train_step(pg, cfg, mesh=None, donate=True)
+    # params_for_mask: required when --stage2 sets train.freeze_pos (the
+    # optax freeze mask is built from the param tree structure).
+    step_fn = make_train_step(pg, cfg, mesh=None, donate=True,
+                              params_for_mask=state.params)
     eval_fn = make_eval_step(pg, cfg)
     log(f"flagship: {n_params / 1e6:.3f}M params, B={B}, dtype={args.dtype}, "
         f"triplet_knn={args.triplet_knn}, buckets="
