@@ -40,7 +40,7 @@ class GuidanceOpt:
     type: str                 # 'atom_prox' | 'center_prox' | 'frag_attract'
     min_d: float = 1.0
     max_d: float = 3.0
-    sigma: float = 3.0        # frag_attract: adjacency kernel width (A)
+    sigma: float = 1.2        # frag_attract: adjacency kernel scale (A)
     weight: float = 1.0       # frag_attract: energy scale
 
 
@@ -60,26 +60,38 @@ def atom_prox_energy(pos, h_edge, bond_mask, lig_mask, min_d, max_d):
     return jnp.mean(per_graph)
 
 
-def frag_attract_energy(pos, lig_mask, sigma=3.0, weight=1.0, n_hops=5):
+def frag_attract_energy(pos, lig_mask, sigma=1.2, weight=1.0, n_hops=7):
     """Differentiable connectivity energy: penalize probability mass that a
     soft diffusion from the centroid-nearest atom cannot reach.
 
     The round-3 failure diagnosis (`scripts/diagnose_r3.py`) found the
     dominant rejection mode is 2-fragment disconnection — geometry splits
     into clusters that the bond head then (correctly) refuses to bond. This
-    drift pulls fragments together: soft adjacency W = exp(-d^2/2sigma^2),
-    reachability r = row-normalized W^(2^n_hops) applied to a seed at the
-    atom nearest the masked centroid, energy = mean unreached mass. For a
-    connected cluster r ~ uniform and E ~ 0; separated clusters leave the
-    far cluster's r near zero with gradients flowing through the
-    inter-cluster distances (exp kernel, so long-range). A framework
-    extension — the reference has no connectivity guidance (its
-    disconnected samples simply fail acceptance, `sample_all.py:127-135`).
+    drift pulls fragments together: heavy-tailed soft adjacency
+    W = 1/(1 + (d^2/sigma^2)^3), reachability r = row-normalized W^(2^n_hops)
+    applied to a seed at the atom nearest the masked centroid, energy = mean
+    unreached mass. For a connected cluster r ~ uniform and E ~ 0; separated
+    clusters leave the far cluster's r near zero with gradients flowing
+    through the inter-cluster distances (rational kernel, so the gradient
+    survives far past the activation gap). A framework extension — the
+    reference has no connectivity guidance (its disconnected samples simply
+    fail acceptance, `sample_all.py:127-135`).
+
+    Operating point (FRAG_AB_r05 post-mortem): the round-4 exp kernel at
+    sigma=3 scored 4-6 A cluster separations as "connected" (zero energy AND
+    zero gradient exactly where bond perception disconnects at ~2.5 A), so
+    the guidance never activated in real trajectories. Measured on
+    two-cluster/chain probes (/tmp/frag_char*.py, gap = nearest-atom
+    separation): sigma=1.2, p=6, n_hops=7 keeps stretched-but-connected
+    chains at E=0 (16 atoms @ 1.8 A bond: 0.0; 30 @ 1.5: 0.01) while firing
+    from 3 A gaps (E 0.05 -> 0.31 at 4 A -> 0.5 asymptote) with |grad|
+    >= 1e-4 out to 12 A.
     """
     B, N, _ = pos.shape
     maskf = lig_mask.astype(pos.dtype)                      # [B,N]
     d2 = jnp.sum(jnp.square(pos[:, :, None, :] - pos[:, None, :, :]), -1)
-    W = jnp.exp(-d2 / (2.0 * sigma * sigma))                # [B,N,N]
+    u = d2 / (sigma * sigma)
+    W = 1.0 / (1.0 + u * u * u)                             # [B,N,N]
     W = W * maskf[:, None, :] * maskf[:, :, None]
     # row-stochastic over valid atoms (masked rows stay zero)
     W = W / jnp.maximum(jnp.sum(W, -1, keepdims=True), 1e-12)

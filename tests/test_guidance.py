@@ -70,12 +70,15 @@ def test_frag_attract_energy():
     energy whose gradient pulls the clusters together."""
     from phoregen_tpu.sample.sampler import frag_attract_energy
 
-    # 6-atom chain at bond length: connected -> tiny energy
-    chain = jnp.asarray(
-        [[[1.5 * i, 0., 0.] for i in range(6)] + [[0., 0., 0.]] * 2])
-    mask = jnp.asarray([[True] * 6 + [False] * 2])
-    e_conn = float(frag_attract_energy(chain, mask))
-    assert e_conn < 0.05, e_conn
+    # 6-atom chain at bond length: connected -> tiny energy. Also at a
+    # STRETCHED 1.8 A bond (the false-positive regime that motivated the
+    # n_hops=7 operating point).
+    for bond in (1.5, 1.8):
+        chain = jnp.asarray(
+            [[[bond * i, 0., 0.] for i in range(6)] + [[0., 0., 0.]] * 2])
+        mask = jnp.asarray([[True] * 6 + [False] * 2])
+        e_conn = float(frag_attract_energy(chain, mask))
+        assert e_conn < 0.05, (bond, e_conn)
 
     # two 3-atom clusters 12 A apart -> large unreached fraction
     split = jnp.asarray(
@@ -84,6 +87,18 @@ def test_frag_attract_energy():
          + [[0., 0., 0.]] * 2])
     e_split = float(frag_attract_energy(split, mask))
     assert e_split > 10 * max(e_conn, 1e-6), (e_split, e_conn)
+
+    # the FRAG_AB_r05 post-mortem regime: a 4 A nearest-atom gap (where
+    # bond perception disconnects but the round-4 exp kernel was exactly
+    # zero) must yield BOTH energy and gradient
+    near = jnp.asarray(
+        [[[1.5 * i, 0., 0.] for i in range(3)]
+         + [[3.0 + 4.0 + 1.5 * i, 0., 0.] for i in range(3)]
+         + [[0., 0., 0.]] * 2])
+    e_near, g_near = jax.value_and_grad(
+        lambda p: frag_attract_energy(p, mask))(near)
+    assert float(e_near) > 0.02, float(e_near)
+    assert float(jnp.max(jnp.abs(g_near))) > 1e-3
 
     # gradient pulls the far cluster toward the seed cluster (negative x)
     g = jax.grad(lambda p: frag_attract_energy(p, mask))(split)
