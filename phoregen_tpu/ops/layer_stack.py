@@ -311,7 +311,15 @@ def _softmax_masked(scores, maskf, axis):
     scores = scores + (1.0 - maskf) * NEG_INF
     m = jnp.max(scores, axis=axis, keepdims=True)
     e = jnp.exp(scores - jax.lax.stop_gradient(m)) * maskf
-    return e / jnp.maximum(jnp.sum(e, axis=axis, keepdims=True), 1e-30)
+    # Denominator floor is 1.0, NOT a tiny eps: any row with >=1 valid lane
+    # has its argmax lane at exp(0) = 1, so sum_e >= 1 and the clamp is
+    # inactive (bit-identical softmax); a fully-masked row (padded node /
+    # empty triplet set) gets denom 1 -> output 0 with a finite backward.
+    # With eps=1e-30 the division's VJP forms 1/denom^2 = 1e60 = inf in
+    # f32, and inf * (e = 0) = NaN — which poisoned every upstream weight
+    # gradient when training through the fused stacks (round-5 NaN hunt;
+    # pinned by tests/test_layer_stack.py::test_xla2_grad_finite_padded).
+    return e / jnp.maximum(jnp.sum(e, axis=axis, keepdims=True), 1.0)
 
 
 def _reduce0(x, op):
@@ -332,7 +340,10 @@ def _softmax0_unrolled(scores, maskf):
     s = scores + (1.0 - maskf) * NEG_INF
     m = jax.lax.stop_gradient(_reduce0(s, jnp.maximum))
     e = jnp.exp(s - m[None]) * maskf
-    denom = jnp.maximum(_reduce0(e, jnp.add), 1e-30)
+    # floor 1.0 for the same reason as _softmax_masked: exact on valid
+    # rows (sum_e >= 1), finite VJP on fully-masked rows (1e-30 made the
+    # division backward form inf * 0 = NaN)
+    denom = jnp.maximum(_reduce0(e, jnp.add), 1.0)
     return e / denom[None]
 
 

@@ -378,3 +378,31 @@ def test_xla2_bf16_close_to_f32(batch_and_key):
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.08,
                                    atol=0.08, err_msg=name)
+
+
+def test_xla2_grad_finite_padded(batch_and_key):
+    """JITTED params-only training grads through the fused stacks must be
+    finite on a batch WITH padded lanes (graphs smaller than the bucket).
+
+    Round-5 regression: `_softmax_masked`'s denominator floor of 1e-30 made
+    the division VJP form 1/denom^2 = 1e60 = inf(f32) on fully-masked rows
+    (padded nodes / empty triplet sets); inf * (e = 0) = NaN, poisoning
+    every upstream weight gradient — jit-compiled training through
+    fused_stack xla/xla2 produced NaN grads at step 0 (TRAIN_SWEEP_r05's
+    loss_finite=false rows) while the eager grad-parity test happened to
+    pass. The floor is now 1.0, exact for any row with a valid lane."""
+    batch, key = batch_and_key
+    cfg = _setup("xla2", freeze=False)
+    pg = PhoreGen(cfg)
+    params = pg.init_params(jax.random.PRNGKey(0), batch)
+
+    def f(p):
+        loss, _ = pg.compute_loss(p, jax.random.PRNGKey(11), batch)
+        return loss
+
+    val, grad = jax.jit(jax.value_and_grad(f))(params)
+    assert np.isfinite(float(val))
+    bad = [jax.tree_util.keystr(k) for k, g in
+           jax.tree_util.tree_flatten_with_path(grad)[0]
+           if not np.all(np.isfinite(np.asarray(g)))]
+    assert not bad, f"non-finite grads in {len(bad)} leaves: {bad[:8]}"
