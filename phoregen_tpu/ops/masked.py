@@ -27,7 +27,14 @@ def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray, axis: int = -1,
     m = jnp.max(scores, axis=axis, keepdims=True)
     e = jnp.exp(scores - jax.lax.stop_gradient(m)) * mask.astype(scores.dtype)
     denom = jnp.sum(e, axis=axis, keepdims=True)
-    return e / jnp.maximum(denom, LOG_EPS)
+    # Floor at 1.0, not LOG_EPS: any row with a valid entry has its argmax
+    # lane at exp(0) = 1 so sum_e >= 1 and the clamp never binds
+    # (bit-identical softmax); a fully-masked row still returns all-zero
+    # weights, now with a finite VJP — with a tiny eps the division
+    # backward forms 1/denom^2 which overflows/underflows f32 and can
+    # produce NaN gradients (see ops/layer_stack.py::_softmax_masked,
+    # round-5 fused-stack NaN fix).
+    return e / jnp.maximum(denom, 1.0)
 
 
 def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=None,
