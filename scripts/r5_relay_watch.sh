@@ -31,9 +31,29 @@ except OSError:
 EOF
 }
 
+# The TCP port can accept while the backend still fails UNAVAILABLE after
+# ~25 min of claim retries (seen in pipeline 4, 02:27-02:52) — a half-up
+# relay that burns whole stage budgets. Require one real device op within
+# 300 s before declaring the relay usable.
+relay_usable() {
+    relay_up || return 1
+    timeout 300 python - <<'EOF' >/dev/null 2>&1
+import jax, numpy as np
+x = jax.numpy.ones((8, 8))
+np.asarray(x @ x)
+EOF
+}
+
 commit_artifacts() { # msg file...
     local msg=$1; shift
-    git add -f "$@" 2>/dev/null
+    local f present=()
+    for f in "$@"; do
+        # Never commit empty artifacts: a failed stage that redirected
+        # stdout into its output file must not look like a result.
+        [ -s "$f" ] && present+=("$f")
+    done
+    [ ${#present[@]} -eq 0 ] && { log "no non-empty artifacts for: $msg"; return 1; }
+    git add -f "${present[@]}" 2>/dev/null
     git diff --cached --quiet && return 0
     git commit -q -m "$msg
 
@@ -64,9 +84,10 @@ while ! relay_up; do
     fi
     sleep 120
 done
-log "relay is back; settling 120s"
+log "relay port is back; settling 120s"
 sleep 120
-relay_up || { log "relay flapped"; exec "$0"; }
+relay_usable || { log "relay port open but backend not usable; restarting watch"; exec "$0"; }
+log "relay backend verified usable"
 
 # ---- 1. stage-2 fine-tune ----
 BASE=release/flagship_r4
@@ -151,13 +172,20 @@ if [ ! -f QUALITY_r05_missing.json ]; then
 fi
 
 # ---- 5. post-NaN-fix xla2 training ladder ----
-if [ ! -f TRAIN_SWEEP2_r05.json ]; then
+# Write to a temp file and promote only a non-empty result so a failed
+# stage can never leave a 0-byte artifact behind (pipeline-4 postmortem).
+if [ ! -s TRAIN_SWEEP2_r05.json ]; then
     run_stage train_sweep2 2400 \
         bash -c "python scripts/bench_train_sweep.py --steps 12 --configs \
 nl48_b16_knn32_bf16_xla2,nl32_b16_knn32_bf16_xla2,nl64_b16_knn32_bf16_xla2,nl80_b8_knn32_bf16_xla2 \
-            > TRAIN_SWEEP2_r05.json 2>/tmp/train_sweep2.err"
-    commit_artifacts "TRAIN_SWEEP2_r05: xla2-under-grad ladder after the NaN fix" \
-        TRAIN_SWEEP2_r05.json
+            > /tmp/train_sweep2.out 2>/tmp/train_sweep2.err"
+    if [ -s /tmp/train_sweep2.out ]; then
+        mv /tmp/train_sweep2.out TRAIN_SWEEP2_r05.json
+        commit_artifacts "TRAIN_SWEEP2_r05: xla2-under-grad ladder after the NaN fix" \
+            TRAIN_SWEEP2_r05.json
+    else
+        log "train_sweep2 produced no output; not committing"
+    fi
 fi
 
 log "WATCHER DONE ($(left)s to deadline)"
