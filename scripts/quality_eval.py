@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--phore_glob",
                     default=os.path.join(REPO, "tests/fixtures/phores/*.phore"))
     ap.add_argument("--seed", type=int, default=2024)
+    ap.add_argument("--sample_steps", type=int, default=0,
+                    help="strided (DDIM-style) reverse schedule: number of "
+                         "denoiser evaluations (0 = full 1000-step "
+                         "schedule; exact multi-step posteriors either way)")
     ap.add_argument("--chunk_steps", type=int, default=0,
                     help="chunked reverse process (identical math; keeps "
                          "each device call under relay wall-time caps)")
@@ -190,6 +194,7 @@ def main():
     pipe = GenerationPipeline(pg, params, batch_size=args.batch_size,
                               add_edge="predicted", seed=args.seed,
                               chunk_steps=args.chunk_steps,
+                              sample_steps=args.sample_steps,
                               guidance=guidance,
                               recon_workers=args.recon_workers)
     per_phore, t_start = [], time.time()
@@ -267,6 +272,7 @@ def main():
         "weights": weights_src,
         "chem_backend": "rdkit" if HAVE_RDKIT else "simplemol",
         "triplet_knn": cfg.model.denoiser.triplet_knn,
+        "sample_steps": args.sample_steps,
         "num_samples_per_phore": args.num_samples,
         "overall_validity_pct": round(100.0 * acc / max(att, 1), 1),
         "overall_accepted": acc,
